@@ -1,0 +1,74 @@
+"""Configuration dataclasses.
+
+The reference hard-codes every parameter in each `main` (multigrid.cpp:192-241:
+N, maxlvl, nu, dt, T, tol, shape; NITER=3 at multigrid.cpp:41; MAX_CYCLE=50 at
+:94; coarse-solve 1e-5/1000 at :60).  Here they are all first-class, with the
+reference defaults reproduced exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemConfig:
+    """The 2-D advection–diffusion problem on [0,1]^2 with Dirichlet BCs.
+
+    u_t + v·∇u + ν∇²u = 0 with ν passed negative (multigrid.cpp:235), i.e.
+    physical diffusion |ν|.  Defaults reproduce the reference default problem
+    (multigrid.cpp:192-241).
+    """
+
+    n: int = 256                  # finest grid: (n+1)^2 nodes, h = 1/n; power of 2
+    nu: float = -4e-4             # diffusion parameter (negative by convention)
+    x0: float = 0.2               # Gaussian IC center x (multigrid.cpp:206)
+    y0: float = 0.4               # Gaussian IC center y
+    sigma: float = 100.0          # Gaussian IC width
+    kx: float = math.pi           # rotating-velocity wavenumbers (multigrid.cpp:208-209)
+    ky: float = math.pi
+    dt: Optional[float] = None    # default dx/10 (CFL, multigrid.cpp:238)
+    num_steps: int = 100          # T = 100*dt (multigrid.cpp:239)
+
+    @property
+    def dx(self) -> float:
+        return 1.0 / self.n
+
+    @property
+    def dt_(self) -> float:
+        return self.dt if self.dt is not None else self.dx / 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Multigrid solver parameters (reference values cited per field)."""
+
+    num_levels: Optional[int] = None  # default log2(n) - 4 (multigrid.cpp:193)
+    cycle_shape: int = 1              # 1 = V-cycle, 2 = W-cycle (multigrid.cpp:35)
+    niter: int = 3                    # pre/post smoothing sweeps (multigrid.cpp:41)
+    tol: float = 1e-6                 # outer relative-residual tolerance (multigrid.cpp:240)
+    max_cycles: int = 50              # MAX_CYCLE (multigrid.cpp:94)
+    coarse_tol: float = 1e-5          # coarsest-level absolute residual (multigrid.cpp:60)
+    coarse_maxiter: int = 1000        # coarsest-level GS iteration cap (multigrid.cpp:60)
+    coarse_mode: str = "gs"           # "gs" (reference parity) | "dense" (precomputed
+                                      # inverse, one MXU matmul — new capability, the
+                                      # solve exact_solve.cpp:15 was abandoned at)
+    smoother: str = "rbgs"            # "rbgs" (red-black GS) | "jacobi" (gs.cu:244 variant)
+    jacobi_omega: float = 1.0         # weight for the Jacobi smoother (gs.cu:268 uses 1)
+    restriction: str = "inject"       # "inject" (reference, gs.cpp:283) | "full" (the
+                                      # full-weighting variant left commented at gs.cpp:277-280)
+    coarse_operator: str = "rediscretize"  # "rediscretize" (reference) | "galerkin" (RAP)
+    dtype: jnp.dtype = jnp.float32
+    backend: str = "auto"             # "auto" | "jnp" | "pallas"
+
+    def resolved_num_levels(self, n: int) -> int:
+        if self.num_levels is not None:
+            return self.num_levels
+        # reference heuristic: maxlvl = log2(N) - 4 so the coarsest grid is 32^2
+        # (multigrid.cpp:193; its comment says 16 but the math gives 32, SURVEY §2.9.6)
+        lvl = int(math.log2(n)) - 4
+        return max(lvl, 1)

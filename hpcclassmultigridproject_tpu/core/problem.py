@@ -1,0 +1,117 @@
+"""Problem setup: initial condition, velocity field, Crank–Nicolson coefficients.
+
+Fields live on the (n+1)x(n+1) node grid of [0,1]^2, h = 1/n, stored as 2-D
+arrays u[i, j] where i is the x/row direction and j is y/col — the same
+convention as the reference's row-major u[i*(N+1)+j] (multigrid.cpp:194,219).
+
+The CN discretization of u_t + v·∇u + ν∇²u = 0 solves A u^{n+1} = B u^n per
+step with A = I − (dt/2)L, B = I + (dt/2)L, where L is the 2nd-order central
+5-point discretization of ν∇² − v·∇ under the repo's sign convention
+(gs.cpp:9-20,44,75; SURVEY §0).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _node_coords(n: int, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """x[i,j] = i*h, y[i,j] = j*h on the (n+1)^2 node grid (numpy, setup-time)."""
+    h = 1.0 / n
+    idx = np.arange(n + 1, dtype=np.float64) * h
+    x = idx[:, None] * np.ones((1, n + 1))
+    y = np.ones((n + 1, 1)) * idx[None, :]
+    return x.astype(dtype), y.astype(dtype)
+
+
+def gaussian_u0(
+    n: int,
+    x0: float = 0.2,
+    y0: float = 0.4,
+    sigma: float = 100.0,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Gaussian initial condition, boundary forced to 0.
+
+    Reference: multigrid.cpp:219 (interior values) and :227-233 (boundary
+    zeroing).  Unlike the CUDA init (gs.cu:225-229) this writes the *entire*
+    boundary — the reference CUDA kernel leaves most of the i==n / j==n edges
+    uninitialized (SURVEY §2.9.4); we implement the intended behavior.
+    """
+    x, y = _node_coords(n, np.float64)
+    u0 = np.exp(-sigma * ((x - x0) ** 2 + (y - y0) ** 2))
+    u0[0, :] = 0.0
+    u0[-1, :] = 0.0
+    u0[:, 0] = 0.0
+    u0[:, -1] = 0.0
+    return jnp.asarray(u0, dtype=dtype)
+
+
+def rotating_velocity(
+    n: int,
+    kx: float = np.pi,
+    ky: float = np.pi,
+    dtype=jnp.float32,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotating velocity field (multigrid.cpp:222-223):
+
+    v1 = -ky*sin(kx*x)*cos(ky*y)   (x/row component, couples i±1)
+    v2 =  kx*cos(kx*x)*sin(ky*y)   (y/col component, couples j±1)
+    """
+    x, y = _node_coords(n, np.float64)
+    v1 = -ky * np.sin(kx * x) * np.cos(ky * y)
+    v2 = kx * np.cos(kx * x) * np.sin(ky * y)
+    return jnp.asarray(v1, dtype=dtype), jnp.asarray(v2, dtype=dtype)
+
+
+class CNCoefficients(NamedTuple):
+    """Interior-node coefficient fields of the CN 5-point operators.
+
+    All arrays have shape (n-1, n-1): value at interior node (i, j) =
+    array[i-1, j-1].  Coefficient formulas from gs.cpp:9-20 with
+    r = dt/(2h^2):
+
+      aa = r(−v2·h/2 + ν)  → couples u[i, j−1]
+      bb = r(+v2·h/2 + ν)  → couples u[i, j+1]
+      cc = r(−v1·h/2 + ν)  → couples u[i−1, j]
+      dd = r(+v1·h/2 + ν)  → couples u[i+1, j]
+
+    Implicit operator  (A u)_ij = (1 − 4rν) u_ij + cc·u_{i−1,j} + dd·u_{i+1,j}
+                                  + aa·u_{i,j−1} + bb·u_{i,j+1}   (gs.cpp:75)
+    Explicit operator  (B u)_ij = (1 + 4rν) u_ij − (same neighbor sum)
+                                  (gs.cpp:44)
+    """
+
+    aa: jnp.ndarray   # west  (j-1) coefficient
+    bb: jnp.ndarray   # east  (j+1)
+    cc: jnp.ndarray   # north (i-1)
+    dd: jnp.ndarray   # south (i+1)
+    diag_a: float     # A diagonal: 1 - 4 r nu
+    diag_b: float     # B diagonal: 1 + 4 r nu
+
+
+def cn_coefficients(
+    v1: jnp.ndarray,
+    v2: jnp.ndarray,
+    dt: float,
+    nu: float,
+    h: float,
+) -> CNCoefficients:
+    """Precompute interior coefficient fields for one grid level.
+
+    The reference recomputes these per point inside every kernel
+    (gs.cpp:126-129); on TPU we precompute once per level so the hot kernels
+    are pure stencil applies.
+    """
+    rr = 0.5 * dt / (h * h)
+    v1i = v1[1:-1, 1:-1]
+    v2i = v2[1:-1, 1:-1]
+    half_h = 0.5 * h
+    aa = rr * (-v2i * half_h + nu)
+    bb = rr * (v2i * half_h + nu)
+    cc = rr * (-v1i * half_h + nu)
+    dd = rr * (v1i * half_h + nu)
+    return CNCoefficients(aa, bb, cc, dd, 1.0 - 4.0 * rr * nu, 1.0 + 4.0 * rr * nu)

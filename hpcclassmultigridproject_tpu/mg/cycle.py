@@ -1,0 +1,137 @@
+"""Multigrid cycling: V/W-cycles, coarse solves, and the outer solver loop.
+
+TPU-first design notes:
+  * The level count is static, so the reference's recursive `mg_inner`
+    (multigrid.cpp:17-92) unrolls at trace time into a flat XLA program —
+    no dynamic control flow across levels.
+  * The outer convergence loop (`mg_outer`, multigrid.cpp:97-120) and the
+    coarsest-level iterated-GS solve (multigrid.cpp:55-65) are
+    `lax.while_loop`s: no host round-trips per iteration (the reference CUDA
+    version syncs device→host for *every* norm, up to 1000 times per coarse
+    visit, multigrid.cu:64-69 — the while_loop keeps all of it on-chip).
+  * The optional "dense" coarse solve replaces up to 1000 GS sweeps with one
+    precomputed-inverse matmul on the MXU (the exact solve the reference
+    abandoned, exact_solve.cpp).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hpcclassmultigridproject_tpu.config import SolverConfig
+from hpcclassmultigridproject_tpu.mg.levels import Level
+from hpcclassmultigridproject_tpu.ops.smoothers import rb_gauss_seidel, weighted_jacobi
+from hpcclassmultigridproject_tpu.ops.stencil import interior_norm, residual
+from hpcclassmultigridproject_tpu.ops.transfer import (
+    prolong_bilinear,
+    restrict_full_weighting,
+    restrict_inject,
+)
+
+
+def _get_smoother(cfg: SolverConfig):
+    if cfg.smoother == "rbgs":
+        return rb_gauss_seidel
+    if cfg.smoother == "jacobi":
+        return lambda level, u, rhs: weighted_jacobi(level, u, rhs, cfg.jacobi_omega)
+    raise ValueError(f"unknown smoother {cfg.smoother!r}")
+
+
+def _get_restriction(cfg: SolverConfig):
+    if cfg.restriction == "inject":
+        return restrict_inject
+    if cfg.restriction == "full":
+        return restrict_full_weighting
+    raise ValueError(f"unknown restriction {cfg.restriction!r}")
+
+
+def coarse_solve_gs(level: Level, u, rhs, cfg: SolverConfig, smoother):
+    """Coarsest-level solve by smoothing to absolute residual `coarse_tol`
+    (≤ `coarse_maxiter` sweeps) — multigrid.cpp:55-65 semantics exactly:
+    check-before-sweep with an initial placeholder residual of 1.0."""
+    one = jnp.asarray(1.0, dtype=jnp.float32)
+
+    def cond(carry):
+        _, res, it = carry
+        return (it < cfg.coarse_maxiter) & (res > cfg.coarse_tol)
+
+    def body(carry):
+        u, _, it = carry
+        u = smoother(level, u, rhs)
+        res = interior_norm(residual(level, u, rhs))
+        return u, res.astype(jnp.float32), it + 1
+
+    u, _, _ = jax.lax.while_loop(cond, body, (u, one, jnp.int32(0)))
+    return u
+
+
+def coarse_solve_dense(level: Level, u, rhs):
+    """Exact coarse solve: one MXU matmul with the precomputed interior
+    inverse.  The initial guess is irrelevant (the solve is exact)."""
+    m = level.n - 1
+    flat = rhs[1:-1, 1:-1].reshape(m * m)
+    sol = (level.a_inv @ flat).reshape(m, m)
+    return jnp.pad(sol, 1)
+
+
+def mg_cycle(levels: tuple[Level, ...], u, rhs, cfg: SolverConfig, lvl: int = 0):
+    """One V- or W-cycle starting at `lvl` (multigrid.cpp:17-92).
+
+    cycle_shape=1 → V, 2 → W; the shape loop wraps the whole level body
+    including the coarsest solve, exactly as the reference's `for sh` loop
+    (multigrid.cpp:52).
+    """
+    level = levels[lvl]
+    smoother = _get_smoother(cfg)
+    restrict = _get_restriction(cfg)
+
+    for _ in range(cfg.cycle_shape):
+        if lvl == len(levels) - 1:
+            if cfg.coarse_mode == "dense" and level.a_inv is not None:
+                u = coarse_solve_dense(level, u, rhs)
+            else:
+                u = coarse_solve_gs(level, u, rhs, cfg, smoother)
+        else:
+            for _ in range(cfg.niter):
+                u = smoother(level, u, rhs)
+            res = residual(level, u, rhs)
+            rhs_c = restrict(res)
+            u_c = jnp.zeros_like(rhs_c)
+            u_c = mg_cycle(levels, u_c, rhs_c, cfg, lvl + 1)
+            u = u + prolong_bilinear(u_c)
+            for _ in range(cfg.niter):
+                u = smoother(level, u, rhs)
+    return u
+
+
+def mg_solve(levels: tuple[Level, ...], u, rhs, cfg: SolverConfig):
+    """Solve A u = rhs by repeated cycles until rel. residual ≤ tol or
+    `max_cycles` cycles (multigrid.cpp:97-120).
+
+    Returns (u, stats) with stats = {"cycles", "rel_residual", "converged"}.
+    """
+    fine = levels[0]
+    res0 = interior_norm(residual(fine, u, rhs)).astype(jnp.float32)
+    res0_safe = jnp.maximum(res0, jnp.finfo(jnp.float32).tiny)
+
+    def cond(carry):
+        _, res, it = carry
+        return (it < cfg.max_cycles) & (res / res0_safe > cfg.tol)
+
+    def body(carry):
+        u, _, it = carry
+        u = mg_cycle(levels, u, rhs, cfg)
+        res = interior_norm(residual(fine, u, rhs)).astype(jnp.float32)
+        return u, res, it + 1
+
+    u, res, cycles = jax.lax.while_loop(cond, body, (u, res0, jnp.int32(0)))
+    rel = res / res0_safe
+    stats = {
+        "cycles": cycles,
+        "rel_residual": rel,
+        # the reference's warning check is off by one (== MAX_CYCLE-1,
+        # multigrid.cpp:117, SURVEY §2.9.5); this is the intended test
+        "converged": rel <= cfg.tol,
+    }
+    return u, stats

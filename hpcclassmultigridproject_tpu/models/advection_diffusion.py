@@ -1,0 +1,74 @@
+"""Flagship problem family: 2-D advection–diffusion with CN multigrid.
+
+Bundles problem setup + hierarchy + solver into one object, replacing the
+reference driver `main` (multigrid.cpp:188-293).  The default configuration is
+the reference default problem (Gaussian IC at (0.2, 0.4), rotating velocity
+field, nu = -4e-4, dt = dx/10, 100 steps).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from hpcclassmultigridproject_tpu.config import ProblemConfig, SolverConfig
+from hpcclassmultigridproject_tpu.core.problem import gaussian_u0, rotating_velocity
+from hpcclassmultigridproject_tpu.mg.levels import Level, build_hierarchy
+from hpcclassmultigridproject_tpu.mg.timestepper import timestep, timestepper
+
+
+class AdvectionDiffusion:
+    """End-to-end advection–diffusion solver.
+
+    >>> model = AdvectionDiffusion(ProblemConfig(n=256), SolverConfig())
+    >>> uT, stats = model.run()
+    """
+
+    def __init__(
+        self,
+        problem: ProblemConfig = ProblemConfig(),
+        solver: SolverConfig = SolverConfig(),
+    ):
+        self.problem = problem
+        self.solver = solver
+        p, s = problem, solver
+        self.num_levels = s.resolved_num_levels(p.n)
+        v1, v2 = rotating_velocity(p.n, p.kx, p.ky, dtype=s.dtype)
+        self.levels: tuple[Level, ...] = build_hierarchy(
+            v1, v2, p.dt_, p.nu, self.num_levels,
+            dtype=s.dtype, coarse_mode=s.coarse_mode,
+        )
+        self.u0 = gaussian_u0(p.n, p.x0, p.y0, p.sigma, dtype=s.dtype)
+
+    @functools.cached_property
+    def _jit_run(self):
+        nsteps, cfg = self.problem.num_steps, self.solver
+
+        def run(levels, u0):
+            return timestepper(levels, u0, nsteps, cfg)
+
+        return jax.jit(run)
+
+    @functools.cached_property
+    def _jit_step(self):
+        cfg = self.solver
+
+        def step(levels, u):
+            return timestep(levels, u, cfg)
+
+        return jax.jit(step)
+
+    def run(self, u0: jnp.ndarray | None = None):
+        """Full timestepped run; returns (uT, per-step stats)."""
+        return self._jit_run(self.levels, self.u0 if u0 is None else u0)
+
+    def step(self, u: jnp.ndarray):
+        """A single CN timestep; returns (u_next, stats)."""
+        return self._jit_step(self.levels, u)
+
+    def center_value(self, uT: jnp.ndarray) -> float:
+        """uT[N/2][N/2] — the convergence oracle printed by the CUDA driver
+        (multigrid.cu:258); measured reference values in BASELINE.md."""
+        return float(uT[self.problem.n // 2, self.problem.n // 2])

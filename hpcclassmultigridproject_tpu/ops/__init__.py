@@ -1,0 +1,28 @@
+from hpcclassmultigridproject_tpu.ops.stencil import (
+    neighbor_sum,
+    apply_A,
+    apply_B,
+    compute_rhs,
+    residual,
+    interior_norm,
+)
+from hpcclassmultigridproject_tpu.ops.smoothers import rb_gauss_seidel, weighted_jacobi
+from hpcclassmultigridproject_tpu.ops.transfer import (
+    restrict_inject,
+    restrict_full_weighting,
+    prolong_bilinear,
+)
+
+__all__ = [
+    "neighbor_sum",
+    "apply_A",
+    "apply_B",
+    "compute_rhs",
+    "residual",
+    "interior_norm",
+    "rb_gauss_seidel",
+    "weighted_jacobi",
+    "restrict_inject",
+    "restrict_full_weighting",
+    "prolong_bilinear",
+]

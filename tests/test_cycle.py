@@ -1,0 +1,73 @@
+"""Cycle- and solver-level tests: convergence, mode equivalence, W-cycles."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hpcclassmultigridproject_tpu import (
+    ProblemConfig,
+    SolverConfig,
+    build_hierarchy,
+    mg_solve,
+)
+from hpcclassmultigridproject_tpu.models import AdvectionDiffusion
+from hpcclassmultigridproject_tpu.ops import compute_rhs
+
+
+def _setup(n=64, dtype=jnp.float64, **solver_kw):
+    p = ProblemConfig(n=n)
+    s = SolverConfig(dtype=dtype, **solver_kw)
+    model = AdvectionDiffusion(p, s)
+    rhs = compute_rhs(model.levels[0], model.u0)
+    return model, rhs
+
+
+def test_vcycle_converges_in_one_cycle():
+    """At the default configuration one V-cycle reaches ~1e-13 relative
+    residual (measured reference behavior, SURVEY §0)."""
+    model, rhs = _setup()
+    u, stats = mg_solve(model.levels, model.u0, rhs, model.solver)
+    assert int(stats["cycles"]) == 1
+    assert float(stats["rel_residual"]) < 1e-10
+    assert bool(stats["converged"])
+
+
+def test_wcycle_converges():
+    model, rhs = _setup(cycle_shape=2)
+    u, stats = mg_solve(model.levels, model.u0, rhs, model.solver)
+    assert bool(stats["converged"])
+    assert float(stats["rel_residual"]) < 1e-10
+
+
+def test_dense_coarse_solve_matches_gs():
+    m_gs, rhs = _setup(coarse_mode="gs")
+    m_dn, _ = _setup(coarse_mode="dense")
+    u_gs, s1 = mg_solve(m_gs.levels, m_gs.u0, rhs, m_gs.solver)
+    u_dn, s2 = mg_solve(m_dn.levels, m_dn.u0, rhs, m_dn.solver)
+    assert bool(s2["converged"])
+    np.testing.assert_allclose(np.asarray(u_dn), np.asarray(u_gs), atol=1e-9)
+
+
+def test_full_weighting_mode_converges():
+    model, rhs = _setup(restriction="full")
+    u, stats = mg_solve(model.levels, model.u0, rhs, model.solver)
+    assert bool(stats["converged"])
+
+
+def test_jacobi_smoother_converges():
+    model, rhs = _setup(smoother="jacobi", jacobi_omega=0.8)
+    u, stats = mg_solve(model.levels, model.u0, rhs, model.solver)
+    assert bool(stats["converged"])
+
+
+def test_deep_hierarchy_converges():
+    """More levels than the reference heuristic (coarsest 4x4)."""
+    model, rhs = _setup(num_levels=5)  # n=64 -> coarsest 4
+    u, stats = mg_solve(model.levels, model.u0, rhs, model.solver)
+    assert bool(stats["converged"])
+
+
+def test_float32_solver_converges():
+    model, rhs = _setup(dtype=jnp.float32, tol=1e-5)
+    u, stats = mg_solve(model.levels, model.u0, rhs, model.solver)
+    assert bool(stats["converged"])
+    assert u.dtype == jnp.float32
