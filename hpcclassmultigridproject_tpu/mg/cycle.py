@@ -75,16 +75,35 @@ def coarse_solve_dense(level: Level, u, rhs):
     return jnp.pad(sol, 1)
 
 
-def mg_cycle(levels: tuple[Level, ...], u, rhs, cfg: SolverConfig, lvl: int = 0):
+def _constrain(x, sharding):
+    if sharding is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, sharding)
+
+
+def mg_cycle(
+    levels: tuple[Level, ...],
+    u,
+    rhs,
+    cfg: SolverConfig,
+    lvl: int = 0,
+    shardings=None,
+):
     """One V- or W-cycle starting at `lvl` (multigrid.cpp:17-92).
 
     cycle_shape=1 → V, 2 → W; the shape loop wraps the whole level body
     including the coarsest solve, exactly as the reference's `for sh` loop
     (multigrid.cpp:52).
+
+    `shardings` (optional, one per level) places sharding constraints at the
+    level transitions — the restrict/prolong boundaries are where GSPMD
+    reshards, implementing coarse-level agglomeration (parallel/sharding.py).
     """
     level = levels[lvl]
     smoother = _get_smoother(cfg)
     restrict = _get_restriction(cfg)
+    shard = None if shardings is None else shardings[lvl]
+    shard_c = None if shardings is None else shardings[lvl + 1] if lvl + 1 < len(levels) else None
 
     for _ in range(cfg.cycle_shape):
         if lvl == len(levels) - 1:
@@ -96,16 +115,16 @@ def mg_cycle(levels: tuple[Level, ...], u, rhs, cfg: SolverConfig, lvl: int = 0)
             for _ in range(cfg.niter):
                 u = smoother(level, u, rhs)
             res = residual(level, u, rhs)
-            rhs_c = restrict(res)
+            rhs_c = _constrain(restrict(res), shard_c)
             u_c = jnp.zeros_like(rhs_c)
-            u_c = mg_cycle(levels, u_c, rhs_c, cfg, lvl + 1)
-            u = u + prolong_bilinear(u_c)
+            u_c = mg_cycle(levels, u_c, rhs_c, cfg, lvl + 1, shardings)
+            u = u + _constrain(prolong_bilinear(u_c), shard)
             for _ in range(cfg.niter):
                 u = smoother(level, u, rhs)
     return u
 
 
-def mg_solve(levels: tuple[Level, ...], u, rhs, cfg: SolverConfig):
+def mg_solve(levels: tuple[Level, ...], u, rhs, cfg: SolverConfig, shardings=None):
     """Solve A u = rhs by repeated cycles until rel. residual ≤ tol or
     `max_cycles` cycles (multigrid.cpp:97-120).
 
@@ -121,7 +140,7 @@ def mg_solve(levels: tuple[Level, ...], u, rhs, cfg: SolverConfig):
 
     def body(carry):
         u, _, it = carry
-        u = mg_cycle(levels, u, rhs, cfg)
+        u = mg_cycle(levels, u, rhs, cfg, shardings=shardings)
         res = interior_norm(residual(fine, u, rhs)).astype(jnp.float32)
         return u, res, it + 1
 

@@ -15,10 +15,10 @@ from hpcclassmultigridproject_tpu.mg.levels import Level
 from hpcclassmultigridproject_tpu.ops.stencil import compute_rhs
 
 
-def timestep(levels: tuple[Level, ...], u, cfg: SolverConfig):
+def timestep(levels: tuple[Level, ...], u, cfg: SolverConfig, shardings=None):
     """One CN step: compute_rhs (multigrid.cpp:167) + mg_outer (:169)."""
     rhs = compute_rhs(levels[0], u)
-    return mg_solve(levels, u, rhs, cfg)
+    return mg_solve(levels, u, rhs, cfg, shardings=shardings)
 
 
 def timestepper(
@@ -26,11 +26,12 @@ def timestepper(
     u0: jnp.ndarray,
     num_steps: int,
     cfg: SolverConfig,
+    shardings=None,
 ):
     """Run `num_steps` CN steps; returns (uT, per-step stats pytree)."""
 
     def step(u, _):
-        u, stats = timestep(levels, u, cfg)
+        u, stats = timestep(levels, u, cfg, shardings=shardings)
         return u, stats
 
     return jax.lax.scan(step, u0, None, length=num_steps)

@@ -1,0 +1,46 @@
+from hpcclassmultigridproject_tpu.parallel.mesh import factor_2d, make_mesh
+from hpcclassmultigridproject_tpu.parallel.sharding import (
+    level_shardings,
+    shard_hierarchy,
+    shard_level_data,
+)
+
+import jax
+
+from hpcclassmultigridproject_tpu.mg.timestepper import timestepper
+
+
+def distributed_run(model, mesh, min_local: int = 64):
+    """Run a model's full timestepped solve block-partitioned over `mesh`.
+
+    Fine levels are 2-D block-sharded (halo exchange + psum norms inserted by
+    GSPMD over ICI); coarse levels agglomerate to replicated.  Returns
+    (uT, stats) with uT sharded over the mesh.
+    """
+    from hpcclassmultigridproject_tpu.parallel.sharding import (
+        level_shardings,
+        shard_level_data,
+    )
+
+    shardings = level_shardings(model.levels, mesh, min_local)
+    nsteps, cfg = model.problem.num_steps, model.solver
+
+    @jax.jit
+    def run(levels, u0):
+        levels = tuple(
+            shard_level_data(l, s) for l, s in zip(levels, shardings)
+        )
+        u0 = jax.lax.with_sharding_constraint(u0, shardings[0])
+        return timestepper(levels, u0, nsteps, cfg, shardings=shardings)
+
+    return run(model.levels, model.u0)
+
+
+__all__ = [
+    "factor_2d",
+    "make_mesh",
+    "level_shardings",
+    "shard_hierarchy",
+    "shard_level_data",
+    "distributed_run",
+]

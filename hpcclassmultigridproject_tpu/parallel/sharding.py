@@ -1,0 +1,84 @@
+"""GSPMD domain decomposition: sharding specs per level + agglomeration.
+
+Design (SURVEY §2.8 TPU-equivalents): every grid level is block-partitioned
+(PartitionSpec("x", "y")) across the 2-D device mesh; XLA's SPMD partitioner
+turns the stencil's shifted-slice reads into one-cell halo exchanges over ICI
+and the norm reductions into psums.  Levels whose per-device block would fall
+below `min_local` nodes are *agglomerated* — replicated on every device
+(PartitionSpec()) — because coarse grids are latency-bound and cheaper to
+compute redundantly than to communicate (the reference's 32^2 coarsest grid
+cannot shard meaningfully).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hpcclassmultigridproject_tpu.mg.levels import Level
+
+
+def level_shardings(
+    levels: tuple[Level, ...],
+    mesh: Mesh,
+    min_local: int = 64,
+) -> tuple[NamedSharding, ...]:
+    """One NamedSharding per level: partitioned fine levels, replicated
+    (agglomerated) coarse levels.
+
+    `min_local`: smallest acceptable per-device block extent (nodes per mesh
+    axis) before a level is agglomerated.
+    """
+    ax_x, ax_y = mesh.axis_names
+    nx, ny = mesh.shape[ax_x], mesh.shape[ax_y]
+    out = []
+    for level in levels:
+        local_x = (level.n + 1) // max(nx, 1)
+        local_y = (level.n + 1) // max(ny, 1)
+        if min(local_x, local_y) >= min_local and (nx * ny) > 1:
+            out.append(NamedSharding(mesh, P(ax_x, ax_y)))
+        else:
+            out.append(NamedSharding(mesh, P()))
+    return tuple(out)
+
+
+def constrain(x, sharding):
+    """with_sharding_constraint that tolerates a None sharding."""
+    if sharding is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, sharding)
+
+
+def shard_level_data(level: Level, sharding: NamedSharding) -> Level:
+    """Constrain a level's coefficient fields to the level's sharding.
+
+    Must run under jit: `with_sharding_constraint` (unlike `device_put`)
+    supports uneven block sizes, which the odd (n±1) grid extents require.
+    Interior arrays (n-1, n-1) and full arrays (n+1, n+1) share the same
+    block spec — GSPMD aligns the uneven remainders.
+    """
+    import dataclasses
+
+    con = lambda a: None if a is None else jax.lax.with_sharding_constraint(a, sharding)
+    repl = NamedSharding(sharding.mesh, P())
+    return dataclasses.replace(
+        level,
+        aa=con(level.aa), bb=con(level.bb), cc=con(level.cc), dd=con(level.dd),
+        v1=con(level.v1), v2=con(level.v2),
+        # the dense coarse inverse lives only on (replicated) coarse levels
+        a_inv=None
+        if level.a_inv is None
+        else jax.lax.with_sharding_constraint(level.a_inv, repl),
+    )
+
+
+def shard_hierarchy(
+    levels: tuple[Level, ...],
+    mesh: Mesh,
+    min_local: int = 64,
+):
+    """Constrain every level to its sharding (call under jit); returns
+    (sharded_levels, shardings)."""
+    shardings = level_shardings(levels, mesh, min_local)
+    sharded = tuple(shard_level_data(l, s) for l, s in zip(levels, shardings))
+    return sharded, shardings
