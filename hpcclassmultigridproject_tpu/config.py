@@ -64,6 +64,19 @@ class SolverConfig:
     coarse_operator: str = "rediscretize"  # "rediscretize" (reference) | "galerkin" (RAP)
     dtype: jnp.dtype = jnp.float32
     backend: str = "auto"             # "auto" | "jnp" | "pallas"
+    cycle_mode: str = "adaptive"      # "adaptive": outer lax.while_loop to tol, the
+                                      # reference mg_outer semantics (multigrid.cpp:108).
+                                      # "fixed": exactly `num_cycles` cycles per solve —
+                                      # the TPU fast path (scan-only program; the
+                                      # residual certificate is still computed in stats)
+    num_cycles: int = 2               # cycles per solve in fixed mode
+    refine_dtype: Optional[jnp.dtype] = None
+                                      # mixed-precision iterative refinement: when set
+                                      # (e.g. float64), u/rhs/residuals live in this
+                                      # dtype and each cycle solves the error equation
+                                      # A e = r in `dtype` — reference-accuracy (1e-6)
+                                      # convergence certificates with f32 compute for
+                                      # all the heavy smoothing work
 
     def resolved_num_levels(self, n: int) -> int:
         if self.num_levels is not None:

@@ -115,3 +115,29 @@ def cn_coefficients(
     cc = rr * (-v1i * half_h + nu)
     dd = rr * (v1i * half_h + nu)
     return CNCoefficients(aa, bb, cc, dd, 1.0 - 4.0 * rr * nu, 1.0 + 4.0 * rr * nu)
+
+
+def cn_coefficients_padded(
+    v1_p: jnp.ndarray,
+    v2_p: jnp.ndarray,
+    n: int,
+    dt: float,
+    nu: float,
+    h: float,
+) -> CNCoefficients:
+    """Padded-layout variant of `cn_coefficients` (core/layout.py).
+
+    Inputs are padded velocity fields; outputs are full padded-shape
+    coefficient arrays that are ZERO outside the open interior — the masking
+    invariant that makes every padded kernel mask-free (ops/padded.py).
+    """
+    from hpcclassmultigridproject_tpu.core.layout import interior_mask
+
+    rr = 0.5 * dt / (h * h)
+    half_h = 0.5 * h
+    mask = interior_mask(n, v1_p.shape, dtype=v1_p.dtype)
+    aa = rr * (-v2_p * half_h + nu) * mask
+    bb = rr * (v2_p * half_h + nu) * mask
+    cc = rr * (-v1_p * half_h + nu) * mask
+    dd = rr * (v1_p * half_h + nu) * mask
+    return CNCoefficients(aa, bb, cc, dd, 1.0 - 4.0 * rr * nu, 1.0 + 4.0 * rr * nu)

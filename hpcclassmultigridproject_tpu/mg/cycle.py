@@ -21,12 +21,14 @@ import jax.numpy as jnp
 
 from hpcclassmultigridproject_tpu.config import SolverConfig
 from hpcclassmultigridproject_tpu.mg.levels import Level
-from hpcclassmultigridproject_tpu.ops.smoothers import rb_gauss_seidel, weighted_jacobi
-from hpcclassmultigridproject_tpu.ops.stencil import interior_norm, residual
-from hpcclassmultigridproject_tpu.ops.transfer import (
+from hpcclassmultigridproject_tpu.ops.padded import (
+    interior_norm,
     prolong_bilinear,
+    rb_gauss_seidel,
+    residual,
     restrict_full_weighting,
     restrict_inject,
+    weighted_jacobi,
 )
 
 
@@ -38,11 +40,12 @@ def _get_smoother(cfg: SolverConfig):
     raise ValueError(f"unknown smoother {cfg.smoother!r}")
 
 
-def _get_restriction(cfg: SolverConfig):
+def _restrict(cfg: SolverConfig, res, coarse_level: Level):
+    shape = coarse_level.padded
     if cfg.restriction == "inject":
-        return restrict_inject
+        return restrict_inject(res, shape)
     if cfg.restriction == "full":
-        return restrict_full_weighting
+        return restrict_full_weighting(res, shape, coarse_level.n)
     raise ValueError(f"unknown restriction {cfg.restriction!r}")
 
 
@@ -68,11 +71,12 @@ def coarse_solve_gs(level: Level, u, rhs, cfg: SolverConfig, smoother):
 
 def coarse_solve_dense(level: Level, u, rhs):
     """Exact coarse solve: one MXU matmul with the precomputed interior
-    inverse.  The initial guess is irrelevant (the solve is exact)."""
-    m = level.n - 1
-    flat = rhs[1:-1, 1:-1].reshape(m * m)
+    inverse (the solve exact_solve.cpp abandoned).  The initial guess is
+    irrelevant (the solve is exact)."""
+    n, m = level.n, level.n - 1
+    flat = rhs[1:n, 1:n].reshape(m * m)
     sol = (level.a_inv @ flat).reshape(m, m)
-    return jnp.pad(sol, 1)
+    return jnp.zeros_like(rhs).at[1:n, 1:n].set(sol)
 
 
 def _constrain(x, sharding):
@@ -101,7 +105,6 @@ def mg_cycle(
     """
     level = levels[lvl]
     smoother = _get_smoother(cfg)
-    restrict = _get_restriction(cfg)
     shard = None if shardings is None else shardings[lvl]
     shard_c = None if shardings is None else shardings[lvl + 1] if lvl + 1 < len(levels) else None
 
@@ -115,10 +118,10 @@ def mg_cycle(
             for _ in range(cfg.niter):
                 u = smoother(level, u, rhs)
             res = residual(level, u, rhs)
-            rhs_c = _constrain(restrict(res), shard_c)
+            rhs_c = _constrain(_restrict(cfg, res, levels[lvl + 1]), shard_c)
             u_c = jnp.zeros_like(rhs_c)
             u_c = mg_cycle(levels, u_c, rhs_c, cfg, lvl + 1, shardings)
-            u = u + _constrain(prolong_bilinear(u_c), shard)
+            u = u + _constrain(prolong_bilinear(u_c, level.padded), shard)
             for _ in range(cfg.niter):
                 u = smoother(level, u, rhs)
     return u
@@ -151,6 +154,32 @@ def mg_solve(levels: tuple[Level, ...], u, rhs, cfg: SolverConfig, shardings=Non
         "rel_residual": rel,
         # the reference's warning check is off by one (== MAX_CYCLE-1,
         # multigrid.cpp:117, SURVEY §2.9.5); this is the intended test
+        "converged": rel <= cfg.tol,
+    }
+    return u, stats
+
+
+def mg_solve_fixed(
+    levels: tuple[Level, ...], u, rhs, cfg: SolverConfig, shardings=None
+):
+    """Solve A u = rhs with exactly `cfg.num_cycles` cycles — the TPU fast
+    path: no data-dependent control flow, so the whole solve is a straight
+    fused XLA program (the axon/TPU compiler handles while_loop-free programs
+    orders of magnitude better, and 1 cycle suffices at the reference's
+    default parameters anyway — SURVEY §0 "convergence is instant").
+
+    The relative-residual certificate is still computed and returned in
+    stats, so callers can verify the reference tolerance was met.
+    """
+    fine = levels[0]
+    res0 = interior_norm(residual(fine, u, rhs)).astype(jnp.float32)
+    res0_safe = jnp.maximum(res0, jnp.finfo(jnp.float32).tiny)
+    for _ in range(cfg.num_cycles):
+        u = mg_cycle(levels, u, rhs, cfg, shardings=shardings)
+    rel = interior_norm(residual(fine, u, rhs)).astype(jnp.float32) / res0_safe
+    stats = {
+        "cycles": jnp.int32(cfg.num_cycles),
+        "rel_residual": rel,
         "converged": rel <= cfg.tol,
     }
     return u, stats

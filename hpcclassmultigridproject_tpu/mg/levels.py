@@ -22,8 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hpcclassmultigridproject_tpu.core.problem import cn_coefficients
-from hpcclassmultigridproject_tpu.ops.transfer import restrict_inject
+from hpcclassmultigridproject_tpu.core.layout import pad_field, padded_shape
+from hpcclassmultigridproject_tpu.core.problem import cn_coefficients_padded
+from hpcclassmultigridproject_tpu.ops.padded import restrict_inject
 
 
 def _static(**kw):
@@ -35,8 +36,10 @@ def _static(**kw):
 class Level:
     """One grid level: (n+1)^2 nodes, h = 2^lvl / n_fine.
 
-    Coefficient arrays are interior-shaped (n-1, n-1); diagonals are python
-    floats (compile-time constants — they depend only on dt, nu, h).
+    All arrays use the TPU padded layout (core/layout.py): full padded shape
+    `padded_shape(n)`, coefficients zero outside the open interior.
+    Diagonals are python floats (compile-time constants — they depend only on
+    dt, nu, h).
     """
 
     # data leaves
@@ -57,7 +60,13 @@ class Level:
 
     @property
     def shape(self) -> tuple[int, int]:
+        """Logical node-grid shape."""
         return (self.n + 1, self.n + 1)
+
+    @property
+    def padded(self) -> tuple[int, int]:
+        """Padded storage shape (= the shape of every array in this level)."""
+        return self.aa.shape
 
 
 def dense_interior_matrix(level: Level) -> np.ndarray:
@@ -68,10 +77,13 @@ def dense_interior_matrix(level: Level) -> np.ndarray:
     and as the oracle for the sparse/CSR path tests.
     """
     m = level.n - 1
-    aa = np.asarray(level.aa, dtype=np.float64)
-    bb = np.asarray(level.bb, dtype=np.float64)
-    cc = np.asarray(level.cc, dtype=np.float64)
-    dd = np.asarray(level.dd, dtype=np.float64)
+    # crop the padded coefficient fields to the interior block (node (i,j) at
+    # padded index [i,j] -> interior array index [i-1, j-1])
+    nn = level.n
+    aa = np.asarray(level.aa, dtype=np.float64)[1:nn, 1:nn]
+    bb = np.asarray(level.bb, dtype=np.float64)[1:nn, 1:nn]
+    cc = np.asarray(level.cc, dtype=np.float64)[1:nn, 1:nn]
+    dd = np.asarray(level.dd, dtype=np.float64)[1:nn, 1:nn]
     A = np.zeros((m * m, m * m))
     idx = np.arange(m * m)
     A[idx, idx] = level.diag_a
@@ -85,6 +97,29 @@ def dense_interior_matrix(level: Level) -> np.ndarray:
     east = jj <= m - 2
     A[idx[east], idx[east] + 1] = bb[ii[east], jj[east]]
     return A
+
+
+def build_fine_level(
+    v1: jnp.ndarray,
+    v2: jnp.ndarray,
+    dt: float,
+    nu: float,
+    dtype=jnp.float64,
+) -> Level:
+    """Build only the finest level's operator at `dtype` — the high-precision
+    operator used by mixed-precision iterative refinement (mg/refine.py) for
+    residuals and the CN right-hand side."""
+    n = v1.shape[0] - 1
+    h = 1.0 / n
+    v1h = pad_field(jnp.asarray(v1, dtype))
+    v2h = pad_field(jnp.asarray(v2, dtype))
+    coef = cn_coefficients_padded(v1h, v2h, n, dt, nu, h)
+    return Level(
+        aa=coef.aa, bb=coef.bb, cc=coef.cc, dd=coef.dd,
+        v1=v1h, v2=v2h, a_inv=None,
+        n=n, h=h, dt=dt, nu=nu,
+        diag_a=float(coef.diag_a), diag_b=float(coef.diag_b),
+    )
 
 
 def build_hierarchy(
@@ -104,7 +139,8 @@ def build_hierarchy(
     """
     n = v1.shape[0] - 1
     levels = []
-    v1l, v2l = jnp.asarray(v1, dtype), jnp.asarray(v2, dtype)
+    v1l = pad_field(jnp.asarray(v1, dtype))
+    v2l = pad_field(jnp.asarray(v2, dtype))
     for lvl in range(num_levels):
         nl = n >> lvl
         if nl < 2:
@@ -112,7 +148,7 @@ def build_hierarchy(
                 f"num_levels={num_levels} too deep for n={n} (level {lvl} has n={nl})"
             )
         h = 1.0 / n * (1 << lvl)
-        coef = cn_coefficients(v1l, v2l, dt, nu, h)
+        coef = cn_coefficients_padded(v1l, v2l, nl, dt, nu, h)
         level = Level(
             aa=coef.aa, bb=coef.bb, cc=coef.cc, dd=coef.dd,
             v1=v1l, v2=v2l, a_inv=None,
@@ -121,8 +157,9 @@ def build_hierarchy(
         )
         levels.append(level)
         if lvl + 1 < num_levels:
-            v1l = restrict_inject(v1l)
-            v2l = restrict_inject(v2l)
+            shape_c = padded_shape(nl >> 1)
+            v1l = restrict_inject(v1l, shape_c)
+            v2l = restrict_inject(v2l, shape_c)
 
     if coarse_mode == "dense":
         coarsest = levels[-1]

@@ -1,0 +1,93 @@
+"""Mixed-precision iterative refinement — the TPU-native answer to the
+reference's pure-double solve (multigrid.cpp:138 `double` everywhere).
+
+TPU f64 is software-emulated and slow, but the CN system is strongly
+diagonally dominant (SURVEY §0: one V-cycle reaches ~7e-15 relative residual
+in double), which is the ideal regime for classic iterative refinement:
+
+    r   = rhs − A·u            computed in `refine_dtype` (f64)
+    e   ≈ A⁻¹ r                one multigrid cycle, all in `dtype` (f32)
+    u  += e                    accumulated in `refine_dtype`
+
+The heavy work (all smoothing sweeps on every level) runs in f32 on the VPU
+at full speed; only ~two fine-grid stencil passes per cycle (residual) plus
+the axpy run in emulated f64.  Because the contraction per refinement step is
+≈ eps_f32·κ(A) ≈ 1e-7, a single cycle certifies the reference tolerance of
+1e-6 (multigrid.cpp:240) that a pure-f32 solver can never certify (the f32
+residual floor at N=1024 is ~1.5e-5 relative).
+
+No reference counterpart: the reference has no mixed precision anywhere; this
+is a new capability required to match its double-precision convergence
+contract on hardware whose fast path is f32/bf16.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hpcclassmultigridproject_tpu.config import SolverConfig
+from hpcclassmultigridproject_tpu.mg.cycle import mg_cycle
+from hpcclassmultigridproject_tpu.mg.levels import Level
+from hpcclassmultigridproject_tpu.ops.padded import interior_norm, residual
+
+
+def _correction(levels, r_hi, cfg, shardings):
+    """Solve A e = r approximately with one cycle tower pass in low precision."""
+    r_lo = r_hi.astype(cfg.dtype)
+    e = jnp.zeros_like(r_lo)
+    e = mg_cycle(levels, e, r_lo, cfg, shardings=shardings)
+    return e.astype(r_hi.dtype)
+
+
+def refined_solve(
+    levels: tuple[Level, ...],
+    fine_hi: Level,
+    u,
+    rhs,
+    cfg: SolverConfig,
+    shardings=None,
+):
+    """Solve A u = rhs with u/rhs/residuals in `fine_hi`'s dtype and cycle
+    corrections in `cfg.dtype`.
+
+    `fine_hi` is the finest level's operator in the high precision
+    (coefficients only; same grid).  cycle_mode "adaptive" reproduces the
+    reference outer-loop semantics (multigrid.cpp:97-120) on the refined
+    iteration; "fixed" runs exactly `cfg.num_cycles` refinement cycles
+    (scan-only program, residual certificate in stats).
+    """
+    norm_dtype = u.dtype
+    r = residual(fine_hi, u, rhs)
+    res0 = interior_norm(r).astype(norm_dtype)
+    res0_safe = jnp.maximum(res0, jnp.finfo(norm_dtype).tiny)
+
+    if cfg.cycle_mode == "fixed":
+        for _ in range(cfg.num_cycles):
+            u = u + _correction(levels, r, cfg, shardings)
+            r = residual(fine_hi, u, rhs)
+        rel = interior_norm(r).astype(norm_dtype) / res0_safe
+        cycles = jnp.int32(cfg.num_cycles)
+    else:
+
+        def cond(carry):
+            _, _, res, it = carry
+            return (it < cfg.max_cycles) & (res / res0_safe > cfg.tol)
+
+        def body(carry):
+            u, r, _, it = carry
+            u = u + _correction(levels, r, cfg, shardings)
+            r = residual(fine_hi, u, rhs)
+            return u, r, interior_norm(r).astype(norm_dtype), it + 1
+
+        u, r, res, cycles = jax.lax.while_loop(
+            cond, body, (u, r, res0, jnp.int32(0))
+        )
+        rel = res / res0_safe
+
+    stats = {
+        "cycles": cycles,
+        "rel_residual": rel.astype(jnp.float32),
+        "converged": rel <= cfg.tol,
+    }
+    return u, stats

@@ -14,8 +14,13 @@ import jax
 import jax.numpy as jnp
 
 from hpcclassmultigridproject_tpu.config import ProblemConfig, SolverConfig
+from hpcclassmultigridproject_tpu.core.layout import crop_field, pad_field
 from hpcclassmultigridproject_tpu.core.problem import gaussian_u0, rotating_velocity
-from hpcclassmultigridproject_tpu.mg.levels import Level, build_hierarchy
+from hpcclassmultigridproject_tpu.mg.levels import (
+    Level,
+    build_fine_level,
+    build_hierarchy,
+)
 from hpcclassmultigridproject_tpu.mg.timestepper import timestep, timestepper
 
 
@@ -40,14 +45,34 @@ class AdvectionDiffusion:
             v1, v2, p.dt_, p.nu, self.num_levels,
             dtype=s.dtype, coarse_mode=s.coarse_mode,
         )
-        self.u0 = gaussian_u0(p.n, p.x0, p.y0, p.sigma, dtype=s.dtype)
+        if s.refine_dtype is not None:
+            if jnp.dtype(s.refine_dtype).itemsize == 8 and not jax.config.jax_enable_x64:
+                raise RuntimeError(
+                    "refine_dtype=float64 requires jax.config.update('jax_enable_x64', True) "
+                    "before building the model (otherwise JAX silently downcasts to f32)"
+                )
+            vh1, vh2 = rotating_velocity(p.n, p.kx, p.ky, dtype=s.refine_dtype)
+            self.fine_hi: Level | None = build_fine_level(
+                vh1, vh2, p.dt_, p.nu, dtype=s.refine_dtype
+            )
+            self.u0 = pad_field(
+                gaussian_u0(p.n, p.x0, p.y0, p.sigma, dtype=s.refine_dtype)
+            )
+        else:
+            self.fine_hi = None
+            self.u0 = pad_field(
+                gaussian_u0(p.n, p.x0, p.y0, p.sigma, dtype=s.dtype)
+            )
 
     @functools.cached_property
     def _jit_run(self):
         nsteps, cfg = self.problem.num_steps, self.solver
 
-        def run(levels, u0):
-            return timestepper(levels, u0, nsteps, cfg)
+        n = self.problem.n
+
+        def run(levels, fine_hi, u0):
+            uT, stats = timestepper(levels, u0, nsteps, cfg, fine_hi=fine_hi)
+            return crop_field(uT, n), stats
 
         return jax.jit(run)
 
@@ -55,18 +80,20 @@ class AdvectionDiffusion:
     def _jit_step(self):
         cfg = self.solver
 
-        def step(levels, u):
-            return timestep(levels, u, cfg)
+        def step(levels, fine_hi, u):
+            return timestep(levels, u, cfg, fine_hi=fine_hi)
 
         return jax.jit(step)
 
     def run(self, u0: jnp.ndarray | None = None):
         """Full timestepped run; returns (uT, per-step stats)."""
-        return self._jit_run(self.levels, self.u0 if u0 is None else u0)
+        return self._jit_run(
+            self.levels, self.fine_hi, self.u0 if u0 is None else u0
+        )
 
     def step(self, u: jnp.ndarray):
         """A single CN timestep; returns (u_next, stats)."""
-        return self._jit_step(self.levels, u)
+        return self._jit_step(self.levels, self.fine_hi, u)
 
     def center_value(self, uT: jnp.ndarray) -> float:
         """uT[N/2][N/2] — the convergence oracle printed by the CUDA driver

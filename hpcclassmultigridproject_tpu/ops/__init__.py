@@ -12,8 +12,10 @@ from hpcclassmultigridproject_tpu.ops.transfer import (
     restrict_full_weighting,
     prolong_bilinear,
 )
+from hpcclassmultigridproject_tpu.ops import padded
 
 __all__ = [
+    "padded",
     "neighbor_sum",
     "apply_A",
     "apply_B",

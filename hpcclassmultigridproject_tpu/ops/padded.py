@@ -1,0 +1,144 @@
+"""Production TPU kernels on the padded layout (core/layout.py).
+
+Numerically identical to the logical-shape oracle kernels in ops/stencil.py /
+ops/smoothers.py / ops/transfer.py (asserted by tests/test_padded.py); the
+difference is purely layout: all fields and coefficient arrays share one
+(8,128)-tile-aligned shape, every hot op is a same-shape elementwise
+expression over fused zero-filled shifts, and nothing in the cycle ever
+slices an odd extent.
+
+Coefficient conventions (reference formulas at gs.cpp:9-20, SURVEY §0):
+  aa → u[i,j−1], bb → u[i,j+1], cc → u[i−1,j], dd → u[i+1,j],
+  (A u) = diag_a·u + Σ, (B u) = diag_b·u − Σ.
+Coefficient arrays are ZERO outside the open interior, which makes boundary
+handling free (see core/layout.py invariants).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from hpcclassmultigridproject_tpu.core.layout import color_mask, shift
+
+
+def neighbor_sum(coef, u: jnp.ndarray) -> jnp.ndarray:
+    """Σ = cc·u[i−1,j] + dd·u[i+1,j] + aa·u[i,j−1] + bb·u[i,j+1] (gs.cpp:44,75)."""
+    return (
+        coef.cc * shift(u, -1, 0)
+        + coef.dd * shift(u, 1, 0)
+        + coef.aa * shift(u, 0, -1)
+        + coef.bb * shift(u, 0, 1)
+    )
+
+
+def apply_A(coef, u: jnp.ndarray) -> jnp.ndarray:
+    """Implicit CN operator (gs.cpp:75).  Valid because u is zero outside the
+    interior, so the diagonal term needs no mask."""
+    return coef.diag_a * u + neighbor_sum(coef, u)
+
+
+def apply_B(coef, u: jnp.ndarray) -> jnp.ndarray:
+    """Explicit CN operator (gs.cpp:44)."""
+    return coef.diag_b * u - neighbor_sum(coef, u)
+
+
+def compute_rhs(coef, u: jnp.ndarray) -> jnp.ndarray:
+    """rhs = B·u^n (gs.cpp:24-53)."""
+    return apply_B(coef, u)
+
+
+def residual(coef, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """res = rhs − A·u (gs.cpp:55-83); zero outside the interior by the
+    coefficient-masking invariant."""
+    return rhs - coef.diag_a * u - neighbor_sum(coef, u)
+
+
+def interior_norm(res: jnp.ndarray) -> jnp.ndarray:
+    """l2 norm over interior nodes (gs.cpp:86-107).  The padding and boundary
+    are exact zeros, so a full-array reduction equals the interior norm."""
+    acc = res.astype(jnp.promote_types(res.dtype, jnp.float32))
+    return jnp.sqrt(jnp.sum(acc * acc))
+
+
+def rb_gauss_seidel(coef, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """One red–black Gauss–Seidel sweep: red = (i+j) even first, then black
+    reading fresh red values (gs.cpp:109-189, gs.cu:378-392).
+
+    Each color pass: upd = (rhs − Σ)/diag_a is zero outside the interior
+    (rhs and the coefficients are), so `where(color, upd, u)` preserves the
+    zero margin with no interior mask.
+    """
+    inv_diag = 1.0 / coef.diag_a
+    red = color_mask(u.shape, 0)
+    u = jnp.where(red, (rhs - neighbor_sum(coef, u)) * inv_diag, u)
+    black = jnp.logical_not(red)
+    u = jnp.where(black, (rhs - neighbor_sum(coef, u)) * inv_diag, u)
+    return u
+
+
+def weighted_jacobi(coef, u: jnp.ndarray, rhs: jnp.ndarray, omega: float = 1.0) -> jnp.ndarray:
+    """Weighted-Jacobi sweep (the gs.cu:244-305 alternative smoother, ω=1
+    there)."""
+    jac = (rhs - neighbor_sum(coef, u)) * (1.0 / coef.diag_a)
+    return (1.0 - omega) * u + omega * jac
+
+
+# ---------------------------------------------------------------------------
+# transfers: the only stride-touching ops; run once per level per cycle
+# ---------------------------------------------------------------------------
+
+
+def _fit(x: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
+    """Crop/zero-pad a 2-D array to `shape` (top-left anchored)."""
+    x = x[: shape[0], : shape[1]]
+    return jnp.pad(x, ((0, shape[0] - x.shape[0]), (0, shape[1] - x.shape[1])))
+
+
+def restrict_inject(fine: jnp.ndarray, coarse_shape: tuple[int, int]) -> jnp.ndarray:
+    """Injection: coarse[I,J] = fine[2I,2J] (gs.cpp:283).
+
+    Rows/cols of the strided slice beyond the coarse logical grid read the
+    fine padding (zeros), so the invariant holds without masking.
+    """
+    return _fit(fine[::2, ::2], coarse_shape)
+
+
+def restrict_full_weighting(
+    fine: jnp.ndarray, coarse_shape: tuple[int, int], n_coarse: int
+) -> jnp.ndarray:
+    """Full-weighting 1/16·[1 2 1; 2 4 2; 1 2 1] restriction (the variant the
+    reference left commented out, gs.cpp:277-280).
+
+    Computed as a 9-point smooth (pure elementwise over shifts) followed by
+    injection; coarse boundary nodes are masked back to zero (they would
+    otherwise pick up interior fine values).
+    """
+    sm = (
+        4.0 * fine
+        + 2.0 * (shift(fine, -1, 0) + shift(fine, 1, 0) + shift(fine, 0, -1) + shift(fine, 0, 1))
+        + shift(fine, -1, -1)
+        + shift(fine, -1, 1)
+        + shift(fine, 1, -1)
+        + shift(fine, 1, 1)
+    ) * (1.0 / 16.0)
+    coarse = _fit(sm[::2, ::2], coarse_shape)
+    from hpcclassmultigridproject_tpu.core.layout import interior_mask
+
+    return coarse * interior_mask(n_coarse, coarse_shape, dtype=coarse.dtype)
+
+
+def prolong_bilinear(coarse: jnp.ndarray, fine_shape: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear prolongation (gs.cpp:228-266, gs.cu:63-81) via row/col
+    interleaving: fine[2I,2J]=c, edge midpoints average 2, centers average 4.
+
+    Requires the input's logical boundary ring to be zero (true for error/
+    correction fields) so the interpolated values just outside the fine
+    logical grid are zero and the padding invariant survives.
+    """
+    rows_odd = 0.5 * (coarse + shift(coarse, 1, 0))
+    x = jnp.stack([coarse, rows_odd], axis=1).reshape(
+        2 * coarse.shape[0], coarse.shape[1]
+    )
+    cols_odd = 0.5 * (x + shift(x, 0, 1))
+    y = jnp.stack([x, cols_odd], axis=2).reshape(x.shape[0], 2 * x.shape[1])
+    return _fit(y, fine_shape)

@@ -25,15 +25,24 @@ def distributed_run(model, mesh, min_local: int = 64):
     shardings = level_shardings(model.levels, mesh, min_local)
     nsteps, cfg = model.problem.num_steps, model.solver
 
+    from hpcclassmultigridproject_tpu.core.layout import crop_field
+
+    n = model.problem.n
+
     @jax.jit
-    def run(levels, u0):
+    def run(levels, fine_hi, u0):
         levels = tuple(
             shard_level_data(l, s) for l, s in zip(levels, shardings)
         )
+        if fine_hi is not None:
+            fine_hi = shard_level_data(fine_hi, shardings[0])
         u0 = jax.lax.with_sharding_constraint(u0, shardings[0])
-        return timestepper(levels, u0, nsteps, cfg, shardings=shardings)
+        uT, stats = timestepper(
+            levels, u0, nsteps, cfg, fine_hi=fine_hi, shardings=shardings
+        )
+        return crop_field(uT, n), stats
 
-    return run(model.levels, model.u0)
+    return run(model.levels, model.fine_hi, model.u0)
 
 
 __all__ = [

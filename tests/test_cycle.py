@@ -10,7 +10,7 @@ from hpcclassmultigridproject_tpu import (
     mg_solve,
 )
 from hpcclassmultigridproject_tpu.models import AdvectionDiffusion
-from hpcclassmultigridproject_tpu.ops import compute_rhs
+from hpcclassmultigridproject_tpu.ops.padded import compute_rhs
 
 
 def _setup(n=64, dtype=jnp.float64, **solver_kw):

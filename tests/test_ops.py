@@ -79,11 +79,15 @@ def test_rb_gauss_seidel_matches_native():
 
 
 def test_apply_A_matches_dense_matrix():
+    from hpcclassmultigridproject_tpu.core.layout import crop_field, pad_field
+    from hpcclassmultigridproject_tpu.ops import padded as pops
+
     u, v1, v2 = _rand_fields()
     levels = build_hierarchy(jnp.asarray(v1), jnp.asarray(v2), DT, NU, 1,
                              dtype=jnp.float64)
     A = dense_interior_matrix(levels[0])
-    got = np.asarray(apply_A(levels[0], jnp.asarray(u)))[1:-1, 1:-1].ravel()
+    got_p = pops.apply_A(levels[0], pad_field(jnp.asarray(u)))
+    got = np.asarray(crop_field(got_p, N))[1:-1, 1:-1].ravel()
     want = A @ u[1:-1, 1:-1].ravel()
     np.testing.assert_allclose(got, want, rtol=1e-12)
 
