@@ -40,6 +40,25 @@ def _get_smoother(cfg: SolverConfig):
     raise ValueError(f"unknown smoother {cfg.smoother!r}")
 
 
+def _smooth_block(cfg: SolverConfig, level: Level, u, rhs, nsweeps: int,
+                  want_residual: bool):
+    """`nsweeps` smoother sweeps, optionally fused with the trailing residual.
+
+    backend "pallas" routes red–black GS through the fused Pallas kernel
+    (ops/pallas/smoother.py — one HBM pass for the whole block); "jnp"/"auto"
+    use the padded jnp kernels.  Pallas requires TPU (or INTERPRET mode) and
+    an f32-family dtype; callers opt in explicitly via SolverConfig.backend.
+    """
+    if cfg.backend == "pallas" and cfg.smoother == "rbgs":
+        from hpcclassmultigridproject_tpu.ops.pallas.smoother import fused_rb_sweeps
+
+        return fused_rb_sweeps(level, u, rhs, nsweeps, want_residual)
+    smoother = _get_smoother(cfg)
+    for _ in range(nsweeps):
+        u = smoother(level, u, rhs)
+    return u, (residual(level, u, rhs) if want_residual else None)
+
+
 def _restrict(cfg: SolverConfig, res, coarse_level: Level):
     shape = coarse_level.padded
     if cfg.restriction == "inject":
@@ -115,15 +134,12 @@ def mg_cycle(
             else:
                 u = coarse_solve_gs(level, u, rhs, cfg, smoother)
         else:
-            for _ in range(cfg.niter):
-                u = smoother(level, u, rhs)
-            res = residual(level, u, rhs)
+            u, res = _smooth_block(cfg, level, u, rhs, cfg.niter, True)
             rhs_c = _constrain(_restrict(cfg, res, levels[lvl + 1]), shard_c)
             u_c = jnp.zeros_like(rhs_c)
             u_c = mg_cycle(levels, u_c, rhs_c, cfg, lvl + 1, shardings)
             u = u + _constrain(prolong_bilinear(u_c, level.padded), shard)
-            for _ in range(cfg.niter):
-                u = smoother(level, u, rhs)
+            u, _ = _smooth_block(cfg, level, u, rhs, cfg.niter, False)
     return u
 
 

@@ -1,0 +1,154 @@
+"""Fused red–black Gauss–Seidel Pallas kernel.
+
+The jnp smoother (ops/padded.py) costs one full HBM round-trip of
+(u, rhs, aa, bb, cc, dd) per COLOR PASS — 14 array-traffics per sweep, 42 for
+the reference's 3-sweep pre/post smooth (multigrid.cpp:41).  This kernel fuses
+all `nsweeps` sweeps (both colors) and optionally the trailing residual into
+ONE pass over HBM: every array is read once per band, the sweeps run entirely
+in VMEM, and u (+res) is written once — ~6x less memory traffic for the
+dominant cost of the V-cycle.
+
+Exact reference semantics (the gs.cu:389-391 kernel-launch barrier between
+colors) are preserved across band boundaries by halo recomputation (temporal
+blocking): each band loads an H-row halo on each side (overlapping
+`pl.Element` windows) and recomputes the sweep cascade over a validity region
+that shrinks by one row per color pass, so the final center rows carry
+exactly the values a global barrier schedule would produce.
+H = ceil((2·nsweeps+1)/8)·8 covers the dependency radius of the cascade plus
+the trailing residual and keeps (8,128) f32 tile alignment.
+
+Mosaic does not support low Element padding, so the first band's window is
+clamped to start at row 0; the validity shrink is exempted at true array
+edges (correct because everything outside the open interior has zero
+coefficients — the padded-layout invariant, core/layout.py).  Window rows
+past the end of the array are zeroed in-kernel by a global-row mask so
+uninitialized padding (potentially NaN) cannot leak through 0·NaN.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Flip for CPU-based testing of the kernel (tests/test_pallas.py).
+INTERPRET = False
+
+# Input-window working-set target; the chip has 16 MB VMEM and Mosaic
+# double-buffers grid inputs plus elementwise temporaries.
+_VMEM_BUDGET = 3 * 1024 * 1024
+
+
+def _halo(nsweeps: int) -> int:
+    """Halo rows per side: dependency radius 2·nsweeps (+1 for the residual),
+    rounded up to the 8-row f32 sublane tile."""
+    return -(-(2 * nsweeps + 1) // 8) * 8
+
+
+def _pick_band(rows: int, cols: int, itemsize: int, h: int) -> int:
+    """Largest multiple-of-8 band height whose 6 input windows fit the VMEM
+    budget."""
+    per_row = 6 * cols * itemsize
+    bh = (_VMEM_BUDGET // per_row - 2 * h) // 8 * 8
+    bh = max(8, min(bh, -(-rows // 8) * 8))
+    return bh
+
+
+def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, *refs):
+    # refs: u, rhs, aa, bb, cc, dd windows of shape (bh+2h, cols), then outputs
+    i = pl.program_id(0)
+    first = i == 0
+    last = i == pl.num_programs(0) - 1
+    rows = bh + 2 * h
+    cols = refs[0].shape[1]
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    start = jnp.maximum(i * bh - h, 0)
+    g = start + r_idx
+    exists = g < total_rows   # rows past the array end -> zero (kills NaN)
+
+    u, rhs, aa, bb, cc, dd = (jnp.where(exists, r[:], 0.0) for r in refs[:6])
+
+    def nb(x):
+        up = jnp.pad(x[:-1, :], ((1, 0), (0, 0)))     # x[i-1, j]
+        dn = jnp.pad(x[1:, :], ((0, 1), (0, 0)))      # x[i+1, j]
+        lf = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))     # x[i, j-1]
+        rt = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))      # x[i, j+1]
+        return cc * up + dd * dn + aa * lf + bb * rt
+
+    # red = (i+j) even in GLOBAL indices; g parity == r_idx parity since the
+    # window start is a multiple of 8
+    red = (r_idx + c_idx) % 2 == 0
+    inv_diag = 1.0 / diag_a
+
+    for p in range(2 * nsweeps):
+        color = red if p % 2 == 0 else jnp.logical_not(red)
+        # validity shrinks by one row per pass, except at true array edges
+        # (the first band's window starts at row 0, the last band's window
+        # covers the array end) where the stencil's zero-fill IS the truth
+        valid = ((r_idx >= p + 1) | first) & ((r_idx < rows - (p + 1)) | last)
+        upd = (rhs - nb(u)) * inv_diag
+        u = jnp.where(color & valid, upd, u)
+
+    # center offset inside the window: 0 for the first band (clamped window),
+    # h otherwise — two static slices under pl.when (Mosaic has no value
+    # dynamic_slice)
+    res = rhs - diag_a * u - nb(u) if want_residual else None
+
+    @pl.when(first)
+    def _():
+        refs[6][:] = u[0:bh, :]
+        if want_residual:
+            refs[7][:] = res[0:bh, :]
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        refs[6][:] = u[h:h + bh, :]
+        if want_residual:
+            refs[7][:] = res[h:h + bh, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nsweeps", "diag_a", "want_residual")
+)
+def _fused(u, rhs, aa, bb, cc, dd, *, nsweeps, diag_a, want_residual):
+    rows, cols = u.shape
+    h = _halo(nsweeps)
+    bh = _pick_band(rows, cols, u.dtype.itemsize, h)
+    grid = pl.cdiv(rows, bh)
+
+    # overlapping element-offset windows: rows [max(i*bh-h, 0), +bh+2h)
+    in_spec = pl.BlockSpec(
+        (pl.Element(bh + 2 * h, (0, bh + 2 * h)), pl.Element(cols, (0, 0))),
+        lambda i: (pl.multiple_of(jnp.maximum(i * bh - h, 0), 8), 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec((bh, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct(u.shape, u.dtype)
+    if want_residual:
+        out_shape = (out_shape, jax.ShapeDtypeStruct(u.shape, u.dtype))
+        out_spec = (out_spec, out_spec)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, nsweeps, bh, h, rows, diag_a, want_residual),
+        grid=(grid,),
+        in_specs=[in_spec] * 6,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=INTERPRET,
+    )(u, rhs, aa, bb, cc, dd)
+
+
+def fused_rb_sweeps(level, u, rhs, nsweeps: int, want_residual: bool = False):
+    """`nsweeps` red–black GS sweeps (+ optional trailing residual) in one
+    fused HBM pass.  Drop-in replacement for `nsweeps` calls of
+    ops/padded.py::rb_gauss_seidel (+ one residual); see tests/test_pallas.py
+    for the equivalence suite."""
+    out = _fused(
+        u, rhs, level.aa, level.bb, level.cc, level.dd,
+        nsweeps=nsweeps, diag_a=level.diag_a, want_residual=want_residual,
+    )
+    return out if want_residual else (out, None)

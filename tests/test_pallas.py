@@ -1,0 +1,79 @@
+"""Fused Pallas smoother vs the jnp padded reference path (interpret mode —
+the fake-backend analog for kernel logic; the real-TPU numbers are produced
+by bench.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hpcclassmultigridproject_tpu.ops.pallas.smoother as psm
+from hpcclassmultigridproject_tpu.core.layout import pad_field
+from hpcclassmultigridproject_tpu.mg.levels import build_fine_level
+from hpcclassmultigridproject_tpu.ops import padded as pops
+
+psm.INTERPRET = True
+
+RNG = np.random.default_rng(3)
+
+
+def _setup(n, dtype=jnp.float32):
+    shape = (n + 1, n + 1)
+    v1 = RNG.standard_normal(shape)
+    v2 = RNG.standard_normal(shape)
+    level = build_fine_level(
+        jnp.asarray(v1), jnp.asarray(v2), (1.0 / n) / 10, -4e-4, dtype=dtype
+    )
+    u = RNG.standard_normal(shape)
+    u[0, :] = u[-1, :] = u[:, 0] = u[:, -1] = 0.0
+    rhs = RNG.standard_normal(shape)
+    rhs[0, :] = rhs[-1, :] = rhs[:, 0] = rhs[:, -1] = 0.0
+    return (
+        level,
+        pad_field(jnp.asarray(u, dtype)),
+        pad_field(jnp.asarray(rhs, dtype)),
+    )
+
+
+def _jnp_reference(level, u, rhs, nsweeps):
+    for _ in range(nsweeps):
+        u = pops.rb_gauss_seidel(level, u, rhs)
+    return u, pops.residual(level, u, rhs)
+
+
+@pytest.mark.parametrize("n", [16, 64])
+@pytest.mark.parametrize("nsweeps", [1, 3])
+def test_fused_matches_jnp_f64(n, nsweeps):
+    """In f64 the two formulations agree to rounding noise."""
+    level, u, rhs = _setup(n, jnp.float64)
+    want_u, want_r = _jnp_reference(level, u, rhs, nsweeps)
+    got_u, got_r = psm.fused_rb_sweeps(level, u, rhs, nsweeps, want_residual=True)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r), atol=1e-13)
+
+
+def test_fused_multiband_banding_is_exact():
+    """Force multiple bands (tiny VMEM budget) — halo recomputation must
+    reproduce the single-band result exactly."""
+    level, u, rhs = _setup(64, jnp.float64)
+    want_u, want_r = psm.fused_rb_sweeps(level, u, rhs, 3, want_residual=True)
+    old = psm._VMEM_BUDGET
+    try:
+        psm._VMEM_BUDGET = 6 * 72 * 128 * 8 * 2  # ~2 h-rows of window
+        psm._fused.clear_cache()
+        got_u, got_r = psm.fused_rb_sweeps(level, u, rhs, 3, want_residual=True)
+    finally:
+        psm._VMEM_BUDGET = old
+        psm._fused.clear_cache()
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u), rtol=0)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r), rtol=0)
+
+
+def test_fused_preserves_zero_margin():
+    level, u, rhs = _setup(16, jnp.float32)
+    got_u, got_r = psm.fused_rb_sweeps(level, u, rhs, 3, want_residual=True)
+    gu = np.asarray(got_u)
+    assert np.all(np.isfinite(gu))
+    assert np.all(gu[17:, :] == 0) and np.all(gu[:, 17:] == 0)
+    assert np.all(gu[0, :] == 0) and np.all(gu[16, :17] == 0)
+    gr = np.asarray(got_r)
+    assert np.all(gr[17:, :] == 0) and np.all(gr[:, 17:] == 0)
