@@ -50,6 +50,14 @@ class Level:
     v1: jnp.ndarray            # velocity fields kept for kernels that
     v2: jnp.ndarray            # recompute coefficients on the fly
     a_inv: Optional[jnp.ndarray]  # dense inverse of interior A (coarsest only)
+    # Galerkin 9-point extension (sparse/galerkin.py): corner couplings and a
+    # spatially-varying diagonal (None -> rediscretized 5-point level whose
+    # diagonal is the compile-time scalar diag_a)
+    ne: Optional[jnp.ndarray] = None   # couples u[i-1, j+1]
+    nw: Optional[jnp.ndarray] = None   # couples u[i-1, j-1]
+    se: Optional[jnp.ndarray] = None   # couples u[i+1, j+1]
+    sw: Optional[jnp.ndarray] = None   # couples u[i+1, j-1]
+    diag: Optional[jnp.ndarray] = None  # diagonal of A (1 outside interior)
     # static metadata
     n: int = _static(default=0)
     h: float = _static(default=0.0)
@@ -130,12 +138,19 @@ def build_hierarchy(
     num_levels: int,
     dtype=jnp.float32,
     coarse_mode: str = "gs",
+    coarse_operator: str = "rediscretize",
+    restriction: str = "inject",
 ) -> tuple[Level, ...]:
     """Build the level tower from the finest velocity fields.
 
     Velocities are restricted downward once by injection (the reference's
     choice, multigrid.cpp:155-157, with the size bug fixed) — for node-sampled
     analytic fields injection is exact sampling at coarse nodes.
+
+    coarse_operator "rediscretize" re-derives CN coefficients from the
+    restricted velocities on every level (the reference's scheme);
+    "galerkin" builds each coarse operator as the exact R·A·P product
+    (sparse/galerkin.py — 9-point DIA levels; `restriction` selects R).
     """
     n = v1.shape[0] - 1
     levels = []
@@ -148,13 +163,20 @@ def build_hierarchy(
                 f"num_levels={num_levels} too deep for n={n} (level {lvl} has n={nl})"
             )
         h = 1.0 / n * (1 << lvl)
-        coef = cn_coefficients_padded(v1l, v2l, nl, dt, nu, h)
-        level = Level(
-            aa=coef.aa, bb=coef.bb, cc=coef.cc, dd=coef.dd,
-            v1=v1l, v2=v2l, a_inv=None,
-            n=nl, h=h, dt=dt, nu=nu,
-            diag_a=float(coef.diag_a), diag_b=float(coef.diag_b),
-        )
+        if lvl > 0 and coarse_operator == "galerkin":
+            from hpcclassmultigridproject_tpu.sparse.galerkin import (
+                galerkin_coarse_level,
+            )
+
+            level = galerkin_coarse_level(levels[-1], restriction, v1l, v2l)
+        else:
+            coef = cn_coefficients_padded(v1l, v2l, nl, dt, nu, h)
+            level = Level(
+                aa=coef.aa, bb=coef.bb, cc=coef.cc, dd=coef.dd,
+                v1=v1l, v2=v2l, a_inv=None,
+                n=nl, h=h, dt=dt, nu=nu,
+                diag_a=float(coef.diag_a), diag_b=float(coef.diag_b),
+            )
         levels.append(level)
         if lvl + 1 < num_levels:
             shape_c = padded_shape(nl >> 1)
@@ -162,9 +184,9 @@ def build_hierarchy(
             v2l = restrict_inject(v2l, shape_c)
 
     if coarse_mode == "dense":
-        coarsest = levels[-1]
-        a_inv = np.linalg.inv(dense_interior_matrix(coarsest))
-        levels[-1] = dataclasses.replace(
-            coarsest, a_inv=jnp.asarray(a_inv, dtype=dtype)
+        from hpcclassmultigridproject_tpu.sparse.galerkin import (
+            attach_dense_inverse,
         )
+
+        levels[-1] = attach_dense_inverse(levels[-1])
     return tuple(levels)

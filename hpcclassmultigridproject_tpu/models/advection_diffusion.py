@@ -44,6 +44,7 @@ class AdvectionDiffusion:
         self.levels: tuple[Level, ...] = build_hierarchy(
             v1, v2, p.dt_, p.nu, self.num_levels,
             dtype=s.dtype, coarse_mode=s.coarse_mode,
+            coarse_operator=s.coarse_operator, restriction=s.restriction,
         )
         if s.refine_dtype is not None:
             if jnp.dtype(s.refine_dtype).itemsize == 8 and not jax.config.jax_enable_x64:

@@ -22,19 +22,41 @@ from hpcclassmultigridproject_tpu.core.layout import color_mask, shift
 
 
 def neighbor_sum(coef, u: jnp.ndarray) -> jnp.ndarray:
-    """Σ = cc·u[i−1,j] + dd·u[i+1,j] + aa·u[i,j−1] + bb·u[i,j+1] (gs.cpp:44,75)."""
-    return (
+    """Σ = cc·u[i−1,j] + dd·u[i+1,j] + aa·u[i,j−1] + bb·u[i,j+1] (gs.cpp:44,75).
+
+    Levels carrying a Galerkin 9-point operator (sparse/galerkin.py) add the
+    four corner couplings ne/nw/se/sw.
+    """
+    s = (
         coef.cc * shift(u, -1, 0)
         + coef.dd * shift(u, 1, 0)
         + coef.aa * shift(u, 0, -1)
         + coef.bb * shift(u, 0, 1)
     )
+    ne = getattr(coef, "ne", None)
+    if ne is not None:
+        s = (
+            s
+            + ne * shift(u, -1, 1)      # couples u[i-1, j+1]
+            + coef.nw * shift(u, -1, -1)
+            + coef.se * shift(u, 1, 1)
+            + coef.sw * shift(u, 1, -1)
+        )
+    return s
+
+
+def _diag(coef):
+    """Diagonal of A: the spatially-varying array for Galerkin operators
+    (stored with ONES outside the interior so reciprocals stay finite), the
+    compile-time scalar 1−4rν otherwise."""
+    d = getattr(coef, "diag", None)
+    return coef.diag_a if d is None else d
 
 
 def apply_A(coef, u: jnp.ndarray) -> jnp.ndarray:
     """Implicit CN operator (gs.cpp:75).  Valid because u is zero outside the
     interior, so the diagonal term needs no mask."""
-    return coef.diag_a * u + neighbor_sum(coef, u)
+    return _diag(coef) * u + neighbor_sum(coef, u)
 
 
 def apply_B(coef, u: jnp.ndarray) -> jnp.ndarray:
@@ -49,8 +71,9 @@ def compute_rhs(coef, u: jnp.ndarray) -> jnp.ndarray:
 
 def residual(coef, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """res = rhs − A·u (gs.cpp:55-83); zero outside the interior by the
-    coefficient-masking invariant."""
-    return rhs - coef.diag_a * u - neighbor_sum(coef, u)
+    coefficient-masking invariant (the Galerkin diag is 1 outside the
+    interior but u is 0 there, so the product still vanishes)."""
+    return rhs - _diag(coef) * u - neighbor_sum(coef, u)
 
 
 def interior_norm(res: jnp.ndarray) -> jnp.ndarray:
@@ -68,7 +91,7 @@ def rb_gauss_seidel(coef, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     (rhs and the coefficients are), so `where(color, upd, u)` preserves the
     zero margin with no interior mask.
     """
-    inv_diag = 1.0 / coef.diag_a
+    inv_diag = 1.0 / _diag(coef)
     red = color_mask(u.shape, 0)
     u = jnp.where(red, (rhs - neighbor_sum(coef, u)) * inv_diag, u)
     black = jnp.logical_not(red)
@@ -79,7 +102,7 @@ def rb_gauss_seidel(coef, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
 def weighted_jacobi(coef, u: jnp.ndarray, rhs: jnp.ndarray, omega: float = 1.0) -> jnp.ndarray:
     """Weighted-Jacobi sweep (the gs.cu:244-305 alternative smoother, ω=1
     there)."""
-    jac = (rhs - neighbor_sum(coef, u)) * (1.0 / coef.diag_a)
+    jac = (rhs - neighbor_sum(coef, u)) * (1.0 / _diag(coef))
     return (1.0 - omega) * u + omega * jac
 
 
