@@ -1,0 +1,229 @@
+"""Command-line interface — replaces the reference's four hard-coded `main`
+executables (SURVEY §2.4) with one configurable driver.
+
+    python -m hpcclassmultigridproject_tpu.cli run --n 256 --dump uT.txt
+    python -m hpcclassmultigridproject_tpu.cli sweep --sizes 64,128,256,512
+    python -m hpcclassmultigridproject_tpu.cli scaling --max-devices 8
+    python -m hpcclassmultigridproject_tpu.cli viz uT.txt --out uT.pdf
+    python -m hpcclassmultigridproject_tpu.cli diff uT.txt uTother.txt
+
+`run` ≈ ./multigrid (multigrid.cpp:188-293), `sweep` ≈ ./mg_timer
+(mg_timer.cu:210-285, which never compiled as committed — SURVEY §2.9.3),
+`scaling` ≈ ./multigrid_strongsc (device-count scaling instead of OMP
+threads), `viz`/`diff` ≈ uTplot.py / uTerr.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _solver_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--n", type=int, default=256, help="grid size (power of 2)")
+    p.add_argument("--steps", type=int, default=100, help="number of CN timesteps")
+    p.add_argument("--nu", type=float, default=-4e-4)
+    p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
+    p.add_argument("--refine", action="store_true",
+                   help="mixed-precision refinement (f64 residuals, f32 cycles)")
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--cycle-shape", type=int, default=1, help="1=V, 2=W")
+    p.add_argument("--niter", type=int, default=3, help="pre/post smoothing sweeps")
+    p.add_argument("--levels", type=int, default=None)
+    p.add_argument("--smoother", choices=["rbgs", "jacobi"], default="rbgs")
+    p.add_argument("--restriction", choices=["inject", "full"], default="inject")
+    p.add_argument("--coarse", choices=["gs", "dense"], default="gs")
+    p.add_argument("--coarse-operator", choices=["rediscretize", "galerkin"],
+                   default="rediscretize")
+    p.add_argument("--cycle-mode", choices=["adaptive", "fixed"], default="adaptive")
+    p.add_argument("--num-cycles", type=int, default=2)
+    p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
+
+
+def _build_model(args):
+    import jax
+    import jax.numpy as jnp
+
+    from hpcclassmultigridproject_tpu import ProblemConfig, SolverConfig
+    from hpcclassmultigridproject_tpu.models import AdvectionDiffusion
+
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
+    refine = jnp.float64 if args.refine else None
+    if args.dtype == "f64" or args.refine:
+        jax.config.update("jax_enable_x64", True)
+    problem = ProblemConfig(n=args.n, nu=args.nu, num_steps=args.steps)
+    solver = SolverConfig(
+        num_levels=args.levels,
+        cycle_shape=args.cycle_shape,
+        niter=args.niter,
+        tol=args.tol,
+        smoother=args.smoother,
+        restriction=args.restriction,
+        coarse_mode=args.coarse,
+        coarse_operator=args.coarse_operator,
+        cycle_mode=args.cycle_mode,
+        num_cycles=args.num_cycles,
+        dtype=dtype,
+        refine_dtype=refine,
+        backend=args.backend,
+    )
+    return AdvectionDiffusion(problem, solver)
+
+
+def cmd_run(args) -> int:
+    import numpy as np
+
+    from hpcclassmultigridproject_tpu.utils.io import save_field_txt
+    from hpcclassmultigridproject_tpu.utils.timing import time_run
+
+    model = _build_model(args)
+
+    if args.checkpoint_dir:
+        from hpcclassmultigridproject_tpu.utils.checkpoint import (
+            CheckpointManager,
+            run_with_checkpoints,
+        )
+
+        mgr = CheckpointManager(args.checkpoint_dir, model.problem)
+        uT, steps = run_with_checkpoints(model, mgr, every=args.checkpoint_every)
+        stats = None
+        timing = {"best_s": None}
+    else:
+        timing = time_run(lambda: model.run(), reps=args.reps)
+        uT, stats = timing.pop("out")
+
+    out = {
+        "n": args.n,
+        "steps": args.steps,
+        "seconds": timing["best_s"],
+        "center_uT": model.center_value(uT),
+    }
+    if stats is not None:
+        out["max_cycles"] = int(np.asarray(stats["cycles"]).max())
+        out["max_rel_residual"] = float(np.asarray(stats["rel_residual"]).max())
+        out["converged"] = bool(np.asarray(stats["converged"]).all())
+    print(json.dumps(out))
+    if args.dump:
+        save_field_txt(args.dump, uT)
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    from hpcclassmultigridproject_tpu.utils.timing import time_run
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    for n in sizes:
+        args.n = n
+        model = _build_model(args)
+        timing = time_run(lambda: model.run(), reps=args.reps)
+        uT, stats = timing.pop("out")
+        # mg_timer.cu:267 printed "Time elapsed for grid size %d: %g ms"
+        print(json.dumps({
+            "n": n,
+            "ms": timing["best_s"] * 1e3,
+            "center_uT": model.center_value(uT),
+        }), flush=True)
+    return 0
+
+
+def cmd_scaling(args) -> int:
+    """Device-count scaling (the strong-scaling sweep of
+    multigrid_strongsc.cpp:251-262, with chips in place of OMP threads)."""
+    import jax
+
+    from hpcclassmultigridproject_tpu.parallel import distributed_run, make_mesh
+    from hpcclassmultigridproject_tpu.utils.timing import time_run
+
+    devices = jax.devices()
+    counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= min(args.max_devices, len(devices))]
+    model = _build_model(args)
+    for c in counts:
+        mesh = make_mesh(devices[:c])
+        timing = time_run(lambda: distributed_run(model, mesh), reps=args.reps)
+        uT, stats = timing.pop("out")
+        print(json.dumps({
+            "devices": c,
+            "mesh": dict(mesh.shape),
+            "seconds": timing["best_s"],
+            "center_uT": model.center_value(uT),
+        }), flush=True)
+    return 0
+
+
+def cmd_viz(args) -> int:
+    """pcolormesh render of a dumped field (uTplot.py:1-62 analog)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from hpcclassmultigridproject_tpu.utils.io import load_field_txt
+
+    field = load_field_txt(args.field)
+    n = field.shape[0] - 1
+    x = np.linspace(0.0, 1.0, n + 1)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    pcm = ax.pcolormesh(x, x, field.T, shading="auto")
+    fig.colorbar(pcm, ax=ax)
+    ax.set_xlabel("x")
+    ax.set_ylabel("y")
+    ax.set_title(args.field)
+    fig.savefig(args.out, bbox_inches="tight")
+    print(json.dumps({"out": args.out, "n": n}))
+    return 0
+
+
+def cmd_diff(args) -> int:
+    """Frobenius norm of the difference of two dumps (uTerr.py:58 analog)."""
+    from hpcclassmultigridproject_tpu.utils.io import (
+        field_difference_norm,
+        load_field_txt,
+    )
+
+    norm = field_difference_norm(load_field_txt(args.a), load_field_txt(args.b))
+    print(json.dumps({"frobenius_norm": norm}))
+    return 0
+
+
+def main(argv=None) -> int:
+    top = argparse.ArgumentParser(prog="hpcclassmultigridproject_tpu")
+    sub = top.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="full timestepped solve (multigrid.cpp main)")
+    _solver_args(p)
+    p.add_argument("--reps", type=int, default=1)
+    p.add_argument("--dump", default=None, help="write uT as tab-separated text")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=10)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("sweep", help="grid-size timing sweep (mg_timer)")
+    _solver_args(p)
+    p.add_argument("--sizes", default="32,64,128,256,512,1024")
+    p.add_argument("--reps", type=int, default=3)
+    p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser("scaling", help="device-count scaling (multigrid_strongsc)")
+    _solver_args(p)
+    p.add_argument("--max-devices", type=int, default=8)
+    p.add_argument("--reps", type=int, default=3)
+    p.set_defaults(fn=cmd_scaling)
+
+    p = sub.add_parser("viz", help="render a field dump (uTplot.py)")
+    p.add_argument("field")
+    p.add_argument("--out", default="uT.pdf")
+    p.set_defaults(fn=cmd_viz)
+
+    p = sub.add_parser("diff", help="compare two field dumps (uTerr.py)")
+    p.add_argument("a")
+    p.add_argument("b")
+    p.set_defaults(fn=cmd_diff)
+
+    args = top.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -96,6 +96,30 @@ class AdvectionDiffusion:
         """A single CN timestep; returns (u_next, stats)."""
         return self._jit_step(self.levels, self.fine_hi, u)
 
+    def _jit_run_chunk(self, nsteps: int):
+        cache = self.__dict__.setdefault("_chunk_cache", {})
+        if nsteps not in cache:
+            cfg = self.solver
+
+            def run(levels, fine_hi, u):
+                return timestepper(levels, u, nsteps, cfg, fine_hi=fine_hi)
+
+            cache[nsteps] = jax.jit(run)
+        return cache[nsteps]
+
+    def run_chunk(self, u_padded: jnp.ndarray, nsteps: int):
+        """`nsteps` CN steps from a padded state (checkpoint/resume driver,
+        utils/checkpoint.py); returns (u_padded, stats)."""
+        return self._jit_run_chunk(nsteps)(self.levels, self.fine_hi, u_padded)
+
+    def pad(self, u_logical: jnp.ndarray) -> jnp.ndarray:
+        """Embed a logical (n+1)^2 field into the padded layout."""
+        return pad_field(u_logical)
+
+    def crop(self, u_padded: jnp.ndarray) -> jnp.ndarray:
+        """Extract the logical (n+1)^2 field from a padded state."""
+        return crop_field(u_padded, self.problem.n)
+
     def center_value(self, uT: jnp.ndarray) -> float:
         """uT[N/2][N/2] — the convergence oracle printed by the CUDA driver
         (multigrid.cu:258); measured reference values in BASELINE.md."""
