@@ -1,3 +1,4 @@
+from hpcclassmultigridproject_tpu.parallel.halo import smooth_distributed
 from hpcclassmultigridproject_tpu.parallel.mesh import factor_2d, make_mesh
 from hpcclassmultigridproject_tpu.parallel.sharding import (
     level_shardings,
@@ -46,6 +47,7 @@ def distributed_run(model, mesh, min_local: int = 64):
 
 
 __all__ = [
+    "smooth_distributed",
     "factor_2d",
     "make_mesh",
     "level_shardings",
