@@ -86,11 +86,31 @@ class AdvectionDiffusion:
 
         return jax.jit(step)
 
-    def run(self, u0: jnp.ndarray | None = None):
-        """Full timestepped run; returns (uT, per-step stats)."""
-        return self._jit_run(
+    def run(self, u0: jnp.ndarray | None = None, warn: bool = True):
+        """Full timestepped run; returns (uT, per-step stats).
+
+        With `warn`, emits the reference's non-convergence warning
+        (multigrid.cpp:117-119, with its off-by-one fixed — SURVEY §2.9.5)
+        when any step fails to reach tol.  The check transfers the per-step
+        stats to host, so pass warn=False in timing loops.
+        """
+        uT, stats = self._jit_run(
             self.levels, self.fine_hi, self.u0 if u0 is None else u0
         )
+        if warn:
+            import warnings
+
+            import numpy as np
+
+            conv = np.asarray(stats["converged"])
+            if not conv.all():
+                bad = int(np.argmin(conv))
+                warnings.warn(
+                    f"multigrid did not converge at step {bad}: relative "
+                    f"residual {float(np.asarray(stats['rel_residual'])[bad]):.3e}"
+                    f" > tol {self.solver.tol:g}"
+                )
+        return uT, stats
 
     def step(self, u: jnp.ndarray):
         """A single CN timestep; returns (u_next, stats)."""

@@ -71,3 +71,28 @@ def test_float32_solver_converges():
     u, stats = mg_solve(model.levels, model.u0, rhs, model.solver)
     assert bool(stats["converged"])
     assert u.dtype == jnp.float32
+
+
+def test_nonconvergence_warning():
+    """The reference's 'did not converge' warning (multigrid.cpp:117-119)
+    with the off-by-one fixed: fires iff a step misses tol."""
+    import warnings
+
+    from hpcclassmultigridproject_tpu.models import AdvectionDiffusion
+
+    model = AdvectionDiffusion(
+        ProblemConfig(n=64, num_steps=3),
+        SolverConfig(dtype=jnp.float64, tol=1e-30, max_cycles=2),
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        model.run()
+    assert any("did not converge" in str(x.message) for x in w)
+
+    model2 = AdvectionDiffusion(
+        ProblemConfig(n=64, num_steps=3), SolverConfig(dtype=jnp.float64)
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        model2.run()
+    assert not any("did not converge" in str(x.message) for x in w)
