@@ -8,9 +8,19 @@ from hpcclassmultigridproject_tpu.sparse.galerkin import (
     dense_interior_matrix_9pt,
     galerkin_coarse_level,
 )
+from hpcclassmultigridproject_tpu.sparse.matrix import (
+    level_to_bcoo,
+    level_to_bcsr,
+    spmv_apply,
+    spmv_residual,
+)
 
 __all__ = [
     "attach_dense_inverse",
     "dense_interior_matrix_9pt",
     "galerkin_coarse_level",
+    "level_to_bcoo",
+    "level_to_bcsr",
+    "spmv_apply",
+    "spmv_residual",
 ]
