@@ -151,6 +151,63 @@ def cmd_scaling(args) -> int:
     return 0
 
 
+def cmd_gsbench(args) -> int:
+    """Red–black GS throughput microbenchmark — the prolrestest.cu analog
+    (500 timed sweeps at N=2048, 31 flops/point/sweep model,
+    prolrestest.cu:119-192).  Reports GFLOP/s and stencil-GDOF/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from hpcclassmultigridproject_tpu.core.problem import rotating_velocity
+    from hpcclassmultigridproject_tpu.core.layout import pad_field
+    from hpcclassmultigridproject_tpu.mg.levels import build_fine_level
+    from hpcclassmultigridproject_tpu.ops import padded as pops
+    from hpcclassmultigridproject_tpu.utils.timing import time_run
+
+    n = args.n
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+    v1, v2 = rotating_velocity(n, dtype=dtype)
+    level = build_fine_level(v1, v2, (1.0 / n) / 10, -4e-4, dtype=dtype)
+    u = pad_field(jnp.zeros((n + 1, n + 1), dtype).at[1:-1, 1:-1].set(1.0))
+    rhs = jnp.zeros_like(u)
+
+    if args.backend == "pallas":
+        from hpcclassmultigridproject_tpu.ops.pallas.smoother import fused_rb_sweeps
+
+        @jax.jit
+        def run(u):
+            def body(u, _):
+                out, _res = fused_rb_sweeps(level, u, rhs, 1)
+                return out, None
+
+            return jax.lax.scan(body, u, None, length=args.sweeps)[0]
+    else:
+
+        @jax.jit
+        def run(u):
+            def body(u, _):
+                return pops.rb_gauss_seidel(level, u, rhs), None
+
+            return jax.lax.scan(body, u, None, length=args.sweeps)[0]
+
+    t = time_run(run, u, reps=args.reps)
+    points = (n - 1) ** 2
+    flops = 31.0 * points * args.sweeps          # prolrestest.cu:191 model
+    secs = t["best_s"]
+    print(json.dumps({
+        "n": n,
+        "sweeps": args.sweeps,
+        "backend": args.backend,
+        "seconds": secs,
+        "gflops": flops / secs / 1e9,
+        "stencil_gdof_s": points * args.sweeps / secs / 1e9,
+        "us_per_sweep": secs / args.sweeps * 1e6,
+    }))
+    return 0
+
+
 def cmd_viz(args) -> int:
     """pcolormesh render of a dumped field (uTplot.py:1-62 analog)."""
     import matplotlib
@@ -210,6 +267,14 @@ def main(argv=None) -> int:
     p.add_argument("--max-devices", type=int, default=8)
     p.add_argument("--reps", type=int, default=3)
     p.set_defaults(fn=cmd_scaling)
+
+    p = sub.add_parser("gsbench", help="GS throughput microbench (prolrestest.cu)")
+    p.add_argument("--n", type=int, default=2048)
+    p.add_argument("--sweeps", type=int, default=500)
+    p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
+    p.add_argument("--backend", choices=["jnp", "pallas"], default="jnp")
+    p.add_argument("--reps", type=int, default=3)
+    p.set_defaults(fn=cmd_gsbench)
 
     p = sub.add_parser("viz", help="render a field dump (uTplot.py)")
     p.add_argument("field")
