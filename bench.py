@@ -53,7 +53,7 @@ def main():
             refine_dtype=jnp.float64,
             tol=REFERENCE_TOL,
             cycle_mode="fixed",
-            num_cycles=2,
+            num_cycles=1,
             coarse_mode="dense",
         ),
     )
@@ -74,7 +74,7 @@ def main():
         "vs_baseline": round(BASELINE_N1024_S / secs, 2),
         "detail": {
             "device": str(jax.devices()[0]),
-            "config": "f32 cycles + f64 refinement, fixed 2 cycles/step, dense coarse",
+            "config": "f32 cycles + f64 refinement, fixed 1 cycle/step, dense coarse",
             "center_uT": center,
             "max_rel_residual": max_rel,
             "meets_reference_tol_1e-6": max_rel <= REFERENCE_TOL,

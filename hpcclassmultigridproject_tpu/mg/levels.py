@@ -22,9 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hpcclassmultigridproject_tpu.core.layout import pad_field, padded_shape
-from hpcclassmultigridproject_tpu.core.problem import cn_coefficients_padded
-from hpcclassmultigridproject_tpu.ops.padded import restrict_inject
+from hpcclassmultigridproject_tpu.core.layout import padded_shape
 
 
 def _static(**kw):
@@ -107,6 +105,64 @@ def dense_interior_matrix(level: Level) -> np.ndarray:
     return A
 
 
+# ---------------------------------------------------------------------------
+# host-side (numpy) construction helpers
+#
+# Hierarchy construction is SETUP, not compute: doing it with eager jax ops
+# dispatches hundreds of tiny programs, and on the axon TPU tunnel each eager
+# op pays a server-side compile — measured 426 s to construct the N=1024
+# model vs <1 s in numpy.  Everything here runs in float64 numpy and is cast
+# to the target dtype once, at Level creation.
+# ---------------------------------------------------------------------------
+
+
+def _np_pad_field(u: np.ndarray) -> np.ndarray:
+    n = u.shape[0] - 1
+    r, c = padded_shape(n)
+    return np.pad(u, ((0, r - u.shape[0]), (0, c - u.shape[1])))
+
+
+def _np_interior_mask(n: int, shape) -> np.ndarray:
+    r = np.arange(shape[0])[:, None]
+    c = np.arange(shape[1])[None, :]
+    return (((r >= 1) & (r <= n - 1)) & ((c >= 1) & (c <= n - 1))).astype(np.float64)
+
+
+def _np_cn_coefficients(v1p, v2p, n, dt, nu, h):
+    """Numpy twin of core.problem.cn_coefficients_padded (same formulas,
+    gs.cpp:9-20)."""
+    rr = 0.5 * dt / (h * h)
+    half_h = 0.5 * h
+    mask = _np_interior_mask(n, v1p.shape)
+    return {
+        "aa": rr * (-v2p * half_h + nu) * mask,
+        "bb": rr * (v2p * half_h + nu) * mask,
+        "cc": rr * (-v1p * half_h + nu) * mask,
+        "dd": rr * (v1p * half_h + nu) * mask,
+        "diag_a": 1.0 - 4.0 * rr * nu,
+        "diag_b": 1.0 + 4.0 * rr * nu,
+    }
+
+
+def _np_restrict_inject(fine: np.ndarray, coarse_shape) -> np.ndarray:
+    s = fine[::2, ::2][: coarse_shape[0], : coarse_shape[1]]
+    return np.pad(
+        s, ((0, coarse_shape[0] - s.shape[0]), (0, coarse_shape[1] - s.shape[1]))
+    )
+
+
+def _np_level(v1p, v2p, n, h, dt, nu, dtype) -> Level:
+    coef = _np_cn_coefficients(v1p, v2p, n, dt, nu, h)
+    as_dev = lambda a: jnp.asarray(a, dtype)
+    return Level(
+        aa=as_dev(coef["aa"]), bb=as_dev(coef["bb"]),
+        cc=as_dev(coef["cc"]), dd=as_dev(coef["dd"]),
+        v1=as_dev(v1p), v2=as_dev(v2p), a_inv=None,
+        n=n, h=h, dt=dt, nu=nu,
+        diag_a=float(coef["diag_a"]), diag_b=float(coef["diag_b"]),
+    )
+
+
 def build_fine_level(
     v1: jnp.ndarray,
     v2: jnp.ndarray,
@@ -118,16 +174,9 @@ def build_fine_level(
     operator used by mixed-precision iterative refinement (mg/refine.py) for
     residuals and the CN right-hand side."""
     n = v1.shape[0] - 1
-    h = 1.0 / n
-    v1h = pad_field(jnp.asarray(v1, dtype))
-    v2h = pad_field(jnp.asarray(v2, dtype))
-    coef = cn_coefficients_padded(v1h, v2h, n, dt, nu, h)
-    return Level(
-        aa=coef.aa, bb=coef.bb, cc=coef.cc, dd=coef.dd,
-        v1=v1h, v2=v2h, a_inv=None,
-        n=n, h=h, dt=dt, nu=nu,
-        diag_a=float(coef.diag_a), diag_b=float(coef.diag_b),
-    )
+    v1p = _np_pad_field(np.asarray(v1, np.float64))
+    v2p = _np_pad_field(np.asarray(v2, np.float64))
+    return _np_level(v1p, v2p, n, 1.0 / n, dt, nu, dtype)
 
 
 def build_hierarchy(
@@ -154,8 +203,8 @@ def build_hierarchy(
     """
     n = v1.shape[0] - 1
     levels = []
-    v1l = pad_field(jnp.asarray(v1, dtype))
-    v2l = pad_field(jnp.asarray(v2, dtype))
+    v1l = _np_pad_field(np.asarray(v1, np.float64))
+    v2l = _np_pad_field(np.asarray(v2, np.float64))
     for lvl in range(num_levels):
         nl = n >> lvl
         if nl < 2:
@@ -168,20 +217,17 @@ def build_hierarchy(
                 galerkin_coarse_level,
             )
 
-            level = galerkin_coarse_level(levels[-1], restriction, v1l, v2l)
-        else:
-            coef = cn_coefficients_padded(v1l, v2l, nl, dt, nu, h)
-            level = Level(
-                aa=coef.aa, bb=coef.bb, cc=coef.cc, dd=coef.dd,
-                v1=v1l, v2=v2l, a_inv=None,
-                n=nl, h=h, dt=dt, nu=nu,
-                diag_a=float(coef.diag_a), diag_b=float(coef.diag_b),
+            level = galerkin_coarse_level(
+                levels[-1], restriction,
+                jnp.asarray(v1l, dtype), jnp.asarray(v2l, dtype),
             )
+        else:
+            level = _np_level(v1l, v2l, nl, h, dt, nu, dtype)
         levels.append(level)
         if lvl + 1 < num_levels:
             shape_c = padded_shape(nl >> 1)
-            v1l = restrict_inject(v1l, shape_c)
-            v2l = restrict_inject(v2l, shape_c)
+            v1l = _np_restrict_inject(v1l, shape_c)
+            v2l = _np_restrict_inject(v2l, shape_c)
 
     if coarse_mode == "dense":
         from hpcclassmultigridproject_tpu.sparse.galerkin import (

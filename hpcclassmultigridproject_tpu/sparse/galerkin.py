@@ -30,7 +30,9 @@ practice uses short of 4-coloring.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 
 from hpcclassmultigridproject_tpu.core.layout import interior_mask, padded_shape
@@ -62,10 +64,10 @@ def _comb(shape, k: int, l: int, n: int, dtype) -> jnp.ndarray:
     return comb * interior_mask(n, shape, dtype=dtype)
 
 
-def galerkin_coarse_level(fine: Level, restriction: str, v1_c, v2_c) -> Level:
-    """Build the coarse Level whose operator is R·A_fine·P (exactly, for the
-    production restrict/prolong kernels selected by `restriction`)."""
-    nc = fine.n >> 1
+@functools.partial(jax.jit, static_argnames=("restriction", "nc"))
+def _extract_bands(fine: Level, restriction: str, nc: int):
+    """The full probe-and-extract computation as ONE jitted program (eager
+    dispatch would pay a per-op server compile on the axon tunnel)."""
     shape_c = padded_shape(nc)
     dtype = fine.aa.dtype
 
@@ -96,7 +98,16 @@ def galerkin_coarse_level(fine: Level, restriction: str, v1_c, v2_c) -> Level:
     fields = {name: band(di, dj) for (di, dj), name in _BANDS.items()}
     diag = band(0, 0)
     # ones outside the interior keep 1/diag finite (ops/padded.py::_diag)
-    diag = jnp.where(mask_i.astype(bool), diag, jnp.ones_like(diag))
+    fields["diag"] = jnp.where(mask_i.astype(bool), diag, jnp.ones_like(diag))
+    return fields
+
+
+def galerkin_coarse_level(fine: Level, restriction: str, v1_c, v2_c) -> Level:
+    """Build the coarse Level whose operator is R·A_fine·P (exactly, for the
+    production restrict/prolong kernels selected by `restriction`)."""
+    nc = fine.n >> 1
+    fields = _extract_bands(fine, restriction, nc)
+    diag = fields.pop("diag")
 
     return Level(
         v1=v1_c, v2=v2_c, a_inv=None, diag=diag,
