@@ -128,26 +128,49 @@ def cmd_sweep(args) -> int:
 
 
 def cmd_scaling(args) -> int:
-    """Device-count scaling (the strong-scaling sweep of
-    multigrid_strongsc.cpp:251-262, with chips in place of OMP threads)."""
+    """Device-count scaling sweeps.
+
+    --mode strong: fixed problem, growing mesh (the multigrid_strongsc.cpp
+    :251-262 sweep with chips in place of OMP threads).
+    --mode weak: per-device work held constant — the global grid doubles with
+    each 4x device count (2-D block decomposition); reports parallel
+    efficiency t(1)/t(c) (the north-star weak-scaling metric).
+    """
     import jax
 
     from hpcclassmultigridproject_tpu.parallel import distributed_run, make_mesh
     from hpcclassmultigridproject_tpu.utils.timing import time_run
 
     devices = jax.devices()
-    counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= min(args.max_devices, len(devices))]
-    model = _build_model(args)
+    limit = min(args.max_devices, len(devices))
+    base_t = None
+    if args.mode == "weak":
+        counts = [c for c in (1, 4, 16, 64) if c <= limit]
+    else:
+        counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= limit]
+    base_n = args.n
     for c in counts:
+        if args.mode == "weak":
+            scale = int(round(c ** 0.5))
+            args.n = base_n * scale
+        model = _build_model(args)
         mesh = make_mesh(devices[:c])
         timing = time_run(lambda: distributed_run(model, mesh), reps=args.reps)
         uT, stats = timing.pop("out")
-        print(json.dumps({
+        if base_t is None:
+            base_t = timing["best_s"]
+        rec = {
             "devices": c,
+            "n": args.n,
             "mesh": dict(mesh.shape),
             "seconds": timing["best_s"],
             "center_uT": model.center_value(uT),
-        }), flush=True)
+        }
+        rec["efficiency"] = base_t / timing["best_s"] if args.mode == "weak" else None
+        if args.mode == "strong":
+            rec["speedup"] = base_t / timing["best_s"]
+        print(json.dumps(rec), flush=True)
+    args.n = base_n
     return 0
 
 
@@ -266,6 +289,7 @@ def main(argv=None) -> int:
     _solver_args(p)
     p.add_argument("--max-devices", type=int, default=8)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--mode", choices=["strong", "weak"], default="strong")
     p.set_defaults(fn=cmd_scaling)
 
     p = sub.add_parser("gsbench", help="GS throughput microbench (prolrestest.cu)")

@@ -77,3 +77,25 @@ def test_fused_preserves_zero_margin():
     assert np.all(gu[0, :] == 0) and np.all(gu[16, :17] == 0)
     gr = np.asarray(got_r)
     assert np.all(gr[17:, :] == 0) and np.all(gr[:, 17:] == 0)
+
+
+def test_full_solve_with_pallas_backend():
+    """backend='pallas' routes the V-cycle's smooth(+residual) blocks through
+    the fused kernel; the full timestepped solve must match the jnp backend."""
+    from hpcclassmultigridproject_tpu import ProblemConfig, SolverConfig
+    from hpcclassmultigridproject_tpu.models import AdvectionDiffusion
+
+    p = ProblemConfig(n=32, num_steps=3)
+    kw = dict(dtype=jnp.float64, cycle_mode="fixed", num_cycles=1,
+              coarse_mode="dense", num_levels=2)
+    m_jnp = AdvectionDiffusion(p, SolverConfig(backend="jnp", **kw))
+    m_pal = AdvectionDiffusion(p, SolverConfig(backend="pallas", **kw))
+    uT_jnp, s1 = m_jnp.run()
+    uT_pal, s2 = m_pal.run()
+    np.testing.assert_allclose(
+        np.asarray(uT_pal), np.asarray(uT_jnp), rtol=0, atol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2["rel_residual"]), np.asarray(s1["rel_residual"]),
+        rtol=1e-6, atol=1e-12,
+    )
