@@ -110,3 +110,43 @@ def test_refined_requires_x64():
     assert jax.config.jax_enable_x64  # conftest enables it; the guard only
     # fires when x64 is off, which we can't toggle per-test safely — the
     # constructor check is exercised implicitly by the tests above.
+
+
+def test_wcycle_with_refinement():
+    p = ProblemConfig(n=64, num_steps=5)
+    m = AdvectionDiffusion(
+        p,
+        SolverConfig(dtype=jnp.float32, refine_dtype=jnp.float64, tol=1e-6,
+                     cycle_shape=2),
+    )
+    uT, stats = m.run()
+    assert bool(np.asarray(stats["converged"]).all())
+
+
+def test_galerkin_with_refinement():
+    p = ProblemConfig(n=64, num_steps=5)
+    m = AdvectionDiffusion(
+        p,
+        SolverConfig(dtype=jnp.float32, refine_dtype=jnp.float64, tol=1e-6,
+                     coarse_operator="galerkin", restriction="full",
+                     coarse_mode="dense", cycle_mode="fixed", num_cycles=2),
+    )
+    uT, stats = m.run()
+    assert float(np.asarray(stats["rel_residual"]).max()) <= 1e-6
+
+
+def test_distributed_refined_matches_single():
+    import numpy as _np
+
+    from hpcclassmultigridproject_tpu.parallel import distributed_run, make_mesh
+
+    p = ProblemConfig(n=64, num_steps=5)
+    m = AdvectionDiffusion(
+        p,
+        SolverConfig(dtype=jnp.float32, refine_dtype=jnp.float64, tol=1e-6),
+    )
+    uT_single, _ = m.run()
+    uT_dist, stats = distributed_run(m, make_mesh(), min_local=8)
+    _np.testing.assert_allclose(
+        _np.asarray(uT_dist), _np.asarray(uT_single), atol=1e-10
+    )
