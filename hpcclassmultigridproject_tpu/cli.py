@@ -255,6 +255,33 @@ def cmd_viz(args) -> int:
     return 0
 
 
+def cmd_plot_sweep(args) -> int:
+    """Log-log runtime-vs-N plot from `sweep` JSON lines — the
+    speedupplot.py:1-64 analog (whose input data files were never
+    committed to the reference)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    series = {}
+    for path in args.files:
+        rows = [json.loads(l) for l in open(path) if l.strip()]
+        key = path
+        series[key] = ([r["n"] for r in rows],
+                       [r.get("ms", r.get("seconds", 0) * 1e3) for r in rows])
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    for key, (ns, ms) in series.items():
+        ax.loglog(ns, ms, marker="o", label=key)
+    ax.set_xlabel("grid size N")
+    ax.set_ylabel("runtime [ms]")
+    ax.grid(True, which="both", alpha=0.3)
+    ax.legend()
+    fig.savefig(args.out, bbox_inches="tight")
+    print(json.dumps({"out": args.out, "series": list(series)}))
+    return 0
+
+
 def cmd_diff(args) -> int:
     """Frobenius norm of the difference of two dumps (uTerr.py:58 analog)."""
     from hpcclassmultigridproject_tpu.utils.io import (
@@ -304,6 +331,11 @@ def main(argv=None) -> int:
     p.add_argument("field")
     p.add_argument("--out", default="uT.pdf")
     p.set_defaults(fn=cmd_viz)
+
+    p = sub.add_parser("plot-sweep", help="log-log runtime plot (speedupplot.py)")
+    p.add_argument("files", nargs="+", help="sweep JSON-lines output files")
+    p.add_argument("--out", default="sweep.pdf")
+    p.set_defaults(fn=cmd_plot_sweep)
 
     p = sub.add_parser("diff", help="compare two field dumps (uTerr.py)")
     p.add_argument("a")
