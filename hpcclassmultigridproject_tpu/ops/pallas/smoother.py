@@ -66,30 +66,38 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, *refs):
     cols = refs[0].shape[1]
     r_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
     c_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
-    start = jnp.maximum(i * bh - h, 0)
+    # int constants pinned to i32: under jax_enable_x64 a weak Python int
+    # stages as i64 and Mosaic's i64→i32 convert rule recurses forever
+    start = jnp.maximum(i * jnp.int32(bh) - jnp.int32(h), jnp.int32(0))
     g = start + r_idx
-    exists = g < total_rows   # rows past the array end -> zero (kills NaN)
+    exists = g < jnp.int32(total_rows)   # rows past the end -> zero (kills NaN)
 
-    u, rhs, aa, bb, cc, dd = (jnp.where(exists, r[:], 0.0) for r in refs[:6])
+    # NB: every constant below is pinned to the ref dtype — under
+    # jax_enable_x64 a bare Python 0.0/0 becomes a weak f64/i64 that Mosaic
+    # cannot lower (f64 convert recursion), so zeros are dtype-exact.
+    dtype = refs[0].dtype
+    zero = dtype.type(0)
+    u, rhs, aa, bb, cc, dd = (jnp.where(exists, r[:], zero) for r in refs[:6])
 
     def nb(x):
-        up = jnp.pad(x[:-1, :], ((1, 0), (0, 0)))     # x[i-1, j]
-        dn = jnp.pad(x[1:, :], ((0, 1), (0, 0)))      # x[i+1, j]
-        lf = jnp.pad(x[:, :-1], ((0, 0), (1, 0)))     # x[i, j-1]
-        rt = jnp.pad(x[:, 1:], ((0, 0), (0, 1)))      # x[i, j+1]
+        up = jnp.pad(x[:-1, :], ((1, 0), (0, 0)), constant_values=zero)
+        dn = jnp.pad(x[1:, :], ((0, 1), (0, 0)), constant_values=zero)
+        lf = jnp.pad(x[:, :-1], ((0, 0), (1, 0)), constant_values=zero)
+        rt = jnp.pad(x[:, 1:], ((0, 0), (0, 1)), constant_values=zero)
         return cc * up + dd * dn + aa * lf + bb * rt
 
     # red = (i+j) even in GLOBAL indices; g parity == r_idx parity since the
     # window start is a multiple of 8
-    red = (r_idx + c_idx) % 2 == 0
-    inv_diag = 1.0 / diag_a
+    red = ((r_idx + c_idx) & jnp.int32(1)) == jnp.int32(0)
+    inv_diag = dtype.type(1.0 / diag_a)
 
     for p in range(2 * nsweeps):
         color = red if p % 2 == 0 else jnp.logical_not(red)
         # validity shrinks by one row per pass, except at true array edges
         # (the first band's window starts at row 0, the last band's window
         # covers the array end) where the stencil's zero-fill IS the truth
-        valid = ((r_idx >= p + 1) | first) & ((r_idx < rows - (p + 1)) | last)
+        valid = ((r_idx >= jnp.int32(p + 1)) | first) & (
+            (r_idx < jnp.int32(rows - (p + 1))) | last)
         upd = (rhs - nb(u)) * inv_diag
         u = jnp.where(color & valid, upd, u)
 
@@ -123,7 +131,12 @@ def _fused(u, rhs, aa, bb, cc, dd, *, nsweeps, diag_a, want_residual):
     # overlapping element-offset windows: rows [max(i*bh-h, 0), +bh+2h)
     in_spec = pl.BlockSpec(
         (pl.Element(bh + 2 * h, (0, bh + 2 * h)), pl.Element(cols, (0, 0))),
-        lambda i: (pl.multiple_of(jnp.maximum(i * bh - h, 0), 8), 0),
+        lambda i: (
+            pl.multiple_of(
+                jnp.maximum(i * jnp.int32(bh) - jnp.int32(h), jnp.int32(0)), 8
+            ),
+            0,
+        ),
         memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec((bh, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
