@@ -73,9 +73,14 @@ def shift(u: jnp.ndarray, di: int, dj: int) -> jnp.ndarray:
 
 
 def interior_mask(n: int, shape: tuple[int, int], dtype=jnp.bool_) -> jnp.ndarray:
-    """Mask of the open interior [1:n, 1:n] inside a padded array."""
-    r = jnp.arange(shape[0])[:, None]
-    c = jnp.arange(shape[1])[None, :]
+    """Mask of the open interior [1:n, 1:n] inside a padded array.
+
+    Index arithmetic is pinned to i32: under jax_enable_x64 a default arange
+    is i64, and 64-bit integer lanes are software-emulated on TPU — the i64
+    variant of these masks made the (all-f32!) V-cycle 2.8x slower.
+    """
+    r = jnp.arange(shape[0], dtype=jnp.int32)[:, None]
+    c = jnp.arange(shape[1], dtype=jnp.int32)[None, :]
     return (((r >= 1) & (r <= n - 1)) & ((c >= 1) & (c <= n - 1))).astype(dtype)
 
 
@@ -83,8 +88,9 @@ def color_mask(shape: tuple[int, int], parity: int) -> jnp.ndarray:
     """Red–black mask over the padded array: (i+j) % 2 == parity.
 
     Padded index equals global node index, so this matches the reference's
-    red = (i+j) even convention (gs.cu:343).
+    red = (i+j) even convention (gs.cu:343).  i32 + bitwise parity for the
+    same TPU reason as interior_mask.
     """
-    r = jnp.arange(shape[0])[:, None]
-    c = jnp.arange(shape[1])[None, :]
-    return (r + c) % 2 == parity
+    r = jnp.arange(shape[0], dtype=jnp.int32)[:, None]
+    c = jnp.arange(shape[1], dtype=jnp.int32)[None, :]
+    return ((r + c) & 1) == parity

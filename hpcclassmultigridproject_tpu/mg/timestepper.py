@@ -21,7 +21,7 @@ from hpcclassmultigridproject_tpu.config import SolverConfig
 from hpcclassmultigridproject_tpu.mg.cycle import mg_solve, mg_solve_fixed
 from hpcclassmultigridproject_tpu.mg.levels import Level
 from hpcclassmultigridproject_tpu.mg.refine import refined_solve
-from hpcclassmultigridproject_tpu.ops.padded import compute_rhs
+from hpcclassmultigridproject_tpu.ops.padded import compute_rhs, rhs_and_residual0
 
 
 def timestep(
@@ -37,8 +37,10 @@ def timestep(
     the solve run under mixed-precision iterative refinement (mg/refine.py).
     """
     if fine_hi is not None:
-        rhs = compute_rhs(fine_hi, u)
-        return refined_solve(levels, fine_hi, u, rhs, cfg, shardings=shardings)
+        rhs, r0 = rhs_and_residual0(fine_hi, u)
+        return refined_solve(
+            levels, fine_hi, u, rhs, cfg, shardings=shardings, r0=r0
+        )
     rhs = compute_rhs(levels[0], u)
     if cfg.cycle_mode == "fixed":
         return mg_solve_fixed(levels, u, rhs, cfg, shardings=shardings)

@@ -73,6 +73,17 @@ def compute_rhs(coef, u: jnp.ndarray) -> jnp.ndarray:
     return apply_B(coef, u)
 
 
+def rhs_and_residual0(coef, u: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """CN step opening, fused: rhs = B·u^n and r0 = rhs − A·u^n share one
+    neighbor-sum pass (B = diag_b·u − Σ, A = diag_a·u + Σ ⇒ r0 = rhs −
+    diag_a·u − Σ).  One fine-grid stencil instead of two — this is the
+    high-precision (emulated-f64) opening of every refined timestep."""
+    ns = neighbor_sum(coef, u)
+    rhs = coef.diag_b * u - ns
+    r0 = rhs - _diag(coef) * u - ns
+    return rhs, r0
+
+
 def residual(coef, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """res = rhs − A·u (gs.cpp:55-83); zero outside the interior by the
     coefficient-masking invariant (the Galerkin diag is 1 outside the

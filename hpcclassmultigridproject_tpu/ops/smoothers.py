@@ -19,8 +19,8 @@ def checkerboard(shape: tuple[int, int], parity: int, dtype=bool) -> jnp.ndarray
     Interior array index (r, c) corresponds to global node (i, j) = (r+1, c+1),
     so (i+j) % 2 == (r+c) % 2.
     """
-    r = jnp.arange(shape[0])[:, None]
-    c = jnp.arange(shape[1])[None, :]
+    r = jnp.arange(shape[0], dtype=jnp.int32)[:, None]
+    c = jnp.arange(shape[1], dtype=jnp.int32)[None, :]
     return jnp.asarray((r + c) % 2 == parity, dtype=dtype)
 
 

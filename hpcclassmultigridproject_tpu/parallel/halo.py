@@ -60,8 +60,8 @@ def _local_color_mask(shape, parity: int, ax_x: str, ax_y: str):
     global origin comes from the device's mesh coordinates."""
     ox = jax.lax.axis_index(ax_x) * shape[0]
     oy = jax.lax.axis_index(ax_y) * shape[1]
-    r = jnp.arange(shape[0])[:, None] + ox
-    c = jnp.arange(shape[1])[None, :] + oy
+    r = jnp.arange(shape[0], dtype=jnp.int32)[:, None] + ox
+    c = jnp.arange(shape[1], dtype=jnp.int32)[None, :] + oy
     return (r + c) % 2 == parity
 
 

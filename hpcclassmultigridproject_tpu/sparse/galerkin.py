@@ -58,8 +58,8 @@ _BANDS = {
 
 
 def _comb(shape, k: int, l: int, n: int, dtype) -> jnp.ndarray:
-    r = jnp.arange(shape[0])[:, None]
-    c = jnp.arange(shape[1])[None, :]
+    r = jnp.arange(shape[0], dtype=jnp.int32)[:, None]
+    c = jnp.arange(shape[1], dtype=jnp.int32)[None, :]
     comb = ((r % 3 == k) & (c % 3 == l)).astype(dtype)
     return comb * interior_mask(n, shape, dtype=dtype)
 
@@ -84,8 +84,8 @@ def _extract_bands(fine: Level, restriction: str, nc: int):
             e = _comb(shape_c, k, l, nc, dtype)
             probes[(k, l)] = restrict(apply_A(fine, prolong_bilinear(e, fine.padded)))
 
-    r = jnp.arange(shape_c[0])[:, None]
-    c = jnp.arange(shape_c[1])[None, :]
+    r = jnp.arange(shape_c[0], dtype=jnp.int32)[:, None]
+    c = jnp.arange(shape_c[1], dtype=jnp.int32)[None, :]
     mask_i = interior_mask(nc, shape_c, dtype=dtype)
 
     def band(di: int, dj: int) -> jnp.ndarray:
