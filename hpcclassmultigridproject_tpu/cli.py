@@ -282,6 +282,53 @@ def cmd_plot_sweep(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Per-phase roofline profile of one CN step (SURVEY §5 tracing row —
+    the reference only ever timed whole runs, multigrid.cpp:244-246)."""
+    from hpcclassmultigridproject_tpu.utils.profiling import (
+        profile_step,
+        trace_step,
+    )
+
+    model = _build_model(args)
+    prof = profile_step(model, reps=args.reps)
+    for rec in prof.pop("phases"):
+        print(json.dumps(rec), flush=True)
+    print(json.dumps(prof), flush=True)
+    if args.trace:
+        print(json.dumps({"trace_logdir": trace_step(model, args.trace)}))
+    return 0
+
+
+def cmd_plot_scaling(args) -> int:
+    """Runtime-vs-devices plot from `scaling` JSON lines, best point
+    highlighted — the strongsc_plot.py:1-111 analog (highlight at :99)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    for path in args.files:
+        rows = [json.loads(l) for l in open(path) if l.strip()]
+        devs = [r.get("devices", r.get("threads")) for r in rows]
+        secs = [r.get("seconds", r.get("ms", 0) / 1e3) for r in rows]
+        ax.plot(devs, secs, marker="o", label=path)
+        best = min(range(len(secs)), key=secs.__getitem__)
+        ax.plot([devs[best]], [secs[best]], marker="*", markersize=15,
+                color="tab:red", zorder=5)
+        ax.annotate(f"best: {devs[best]} @ {secs[best]:.3g}s",
+                    (devs[best], secs[best]),
+                    textcoords="offset points", xytext=(8, 8))
+    ax.set_xlabel("devices")
+    ax.set_ylabel("runtime [s]")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.savefig(args.out, bbox_inches="tight")
+    print(json.dumps({"out": args.out}))
+    return 0
+
+
 def cmd_diff(args) -> int:
     """Frobenius norm of the difference of two dumps (uTerr.py:58 analog)."""
     from hpcclassmultigridproject_tpu.utils.io import (
@@ -336,6 +383,19 @@ def main(argv=None) -> int:
     p.add_argument("files", nargs="+", help="sweep JSON-lines output files")
     p.add_argument("--out", default="sweep.pdf")
     p.set_defaults(fn=cmd_plot_sweep)
+
+    p = sub.add_parser("profile", help="per-phase roofline profile of one step")
+    _solver_args(p)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--trace", default=None,
+                   help="also record a jax.profiler trace to this logdir")
+    p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser("plot-scaling",
+                       help="runtime-vs-devices plot (strongsc_plot.py)")
+    p.add_argument("files", nargs="+", help="scaling JSON-lines output files")
+    p.add_argument("--out", default="scaling.pdf")
+    p.set_defaults(fn=cmd_plot_scaling)
 
     p = sub.add_parser("diff", help="compare two field dumps (uTerr.py)")
     p.add_argument("a")
