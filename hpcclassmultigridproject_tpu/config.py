@@ -57,8 +57,14 @@ class SolverConfig:
     coarse_mode: str = "gs"           # "gs" (reference parity) | "dense" (precomputed
                                       # inverse, one MXU matmul — new capability, the
                                       # solve exact_solve.cpp:15 was abandoned at)
-    smoother: str = "rbgs"            # "rbgs" (red-black GS) | "jacobi" (gs.cu:244 variant)
+    smoother: str = "rbgs"            # "rbgs" (red-black GS) | "jacobi" (gs.cu:244
+                                      # variant) | "chebyshev" (polynomial smoother —
+                                      # new capability; decomposition-invariant, no
+                                      # color masks; see ops/padded.py::chebyshev_smooth)
     jacobi_omega: float = 1.0         # weight for the Jacobi smoother (gs.cu:268 uses 1)
+    cheby_degree: int = 3             # Chebyshev polynomial degree per "sweep"
+    cheby_lower: float = 1.0 / 30.0   # smoothing band [lower, upper]·λ̂(D⁻¹A)
+    cheby_upper: float = 1.1
     restriction: str = "inject"       # "inject" (reference, gs.cpp:283) | "full" (the
                                       # full-weighting variant left commented at gs.cpp:277-280)
     coarse_operator: str = "rediscretize"  # "rediscretize" (reference) | "galerkin" (RAP)
@@ -68,7 +74,10 @@ class SolverConfig:
                                       # reference mg_outer semantics (multigrid.cpp:108).
                                       # "fixed": exactly `num_cycles` cycles per solve —
                                       # the TPU fast path (scan-only program; the
-                                      # residual certificate is still computed in stats)
+                                      # residual certificate is still computed in stats).
+                                      # "fmg": full multigrid / nested iteration — coarse-
+                                      # to-fine opening + `num_cycles` cycles per level
+                                      # (mg/cycle.py::fmg_solve; new capability)
     num_cycles: int = 2               # cycles per solve in fixed mode
     refine_dtype: Optional[jnp.dtype] = None
                                       # mixed-precision iterative refinement: when set

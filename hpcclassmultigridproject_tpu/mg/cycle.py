@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from hpcclassmultigridproject_tpu.config import SolverConfig
 from hpcclassmultigridproject_tpu.mg.levels import Level
 from hpcclassmultigridproject_tpu.ops.padded import (
+    chebyshev_smooth,
     interior_norm,
     prolong_bilinear,
     rb_gauss_seidel,
@@ -37,6 +38,10 @@ def _get_smoother(cfg: SolverConfig):
         return rb_gauss_seidel
     if cfg.smoother == "jacobi":
         return lambda level, u, rhs: weighted_jacobi(level, u, rhs, cfg.jacobi_omega)
+    if cfg.smoother == "chebyshev":
+        return lambda level, u, rhs: chebyshev_smooth(
+            level, u, rhs, cfg.cheby_degree, cfg.cheby_lower, cfg.cheby_upper
+        )
     raise ValueError(f"unknown smoother {cfg.smoother!r}")
 
 
@@ -199,3 +204,58 @@ def mg_solve_fixed(
         "converged": rel <= cfg.tol,
     }
     return u, stats
+
+
+def fmg_solve(
+    levels: tuple[Level, ...], u, rhs, cfg: SolverConfig, shardings=None
+):
+    """Full multigrid (FMG / nested iteration): restrict the rhs down the
+    tower, solve the coarsest level, then work back up — at each level the
+    prolonged coarse solution seeds `cfg.num_cycles` cycles.
+
+    New capability beyond the reference (which always starts cycles from the
+    previous timestep's fine-grid state, multigrid.cpp:108-114).  FMG costs
+    ~4/3 of one fine V-cycle yet delivers a discretization-accuracy first
+    iterate, making it the right opening move for cold starts (t = 0, or
+    checkpoint-restart with no history).  The initial guess `u` only
+    contributes via the residual-norm baseline of the certificate; the FMG
+    iterate replaces it.
+
+    Like `mg_solve_fixed` this is a scan-only (while_loop-free) program; the
+    relative-residual certificate is computed against `u`'s initial residual
+    and returned in stats.
+    """
+    fine = levels[0]
+    res0 = interior_norm(residual(fine, u, rhs)).astype(jnp.float32)
+    res0_safe = jnp.maximum(res0, jnp.finfo(jnp.float32).tiny)
+
+    # restrict the rhs to every level (injection or full weighting, per cfg)
+    rhs_l = [rhs]
+    for lvl in range(1, len(levels)):
+        rhs_l.append(_constrain(
+            _restrict(cfg, rhs_l[-1], levels[lvl]),
+            None if shardings is None else shardings[lvl],
+        ))
+
+    # coarsest solve
+    bottom = levels[-1]
+    smoother = _get_smoother(cfg)
+    if cfg.coarse_mode == "dense" and bottom.a_inv is not None:
+        v = coarse_solve_dense(bottom, jnp.zeros_like(rhs_l[-1]), rhs_l[-1])
+    else:
+        v = coarse_solve_gs(bottom, jnp.zeros_like(rhs_l[-1]), rhs_l[-1], cfg, smoother)
+
+    # ascend: prolong the solution, then cycle at that level
+    for lvl in range(len(levels) - 2, -1, -1):
+        shard = None if shardings is None else shardings[lvl]
+        v = _constrain(prolong_bilinear(v, levels[lvl].padded), shard)
+        for _ in range(cfg.num_cycles):
+            v = mg_cycle(levels, v, rhs_l[lvl], cfg, lvl=lvl, shardings=shardings)
+
+    rel = interior_norm(residual(fine, v, rhs)).astype(jnp.float32) / res0_safe
+    stats = {
+        "cycles": jnp.int32(cfg.num_cycles),
+        "rel_residual": rel,
+        "converged": rel <= cfg.tol,
+    }
+    return v, stats

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from hpcclassmultigridproject_tpu.config import SolverConfig
-from hpcclassmultigridproject_tpu.mg.cycle import mg_solve, mg_solve_fixed
+from hpcclassmultigridproject_tpu.mg.cycle import fmg_solve, mg_solve, mg_solve_fixed
 from hpcclassmultigridproject_tpu.mg.levels import Level
 from hpcclassmultigridproject_tpu.mg.refine import refined_solve
 from hpcclassmultigridproject_tpu.ops.padded import compute_rhs, rhs_and_residual0
@@ -44,6 +44,8 @@ def timestep(
     rhs = compute_rhs(levels[0], u)
     if cfg.cycle_mode == "fixed":
         return mg_solve_fixed(levels, u, rhs, cfg, shardings=shardings)
+    if cfg.cycle_mode == "fmg":
+        return fmg_solve(levels, u, rhs, cfg, shardings=shardings)
     return mg_solve(levels, u, rhs, cfg, shardings=shardings)
 
 

@@ -121,6 +121,66 @@ def weighted_jacobi(coef, u: jnp.ndarray, rhs: jnp.ndarray, omega: float = 1.0) 
     return (1.0 - omega) * u + omega * jac
 
 
+def gershgorin_bound(coef) -> jnp.ndarray:
+    """Gershgorin upper bound on the spectrum of D⁻¹A: 1 + max_i Σ_j|a_ij|/d_i.
+
+    One reduction over the (loop-invariant) coefficient fields; XLA hoists it
+    out of scan/while bodies, so smoothers may call it per sweep for free.
+    """
+    rowsum = jnp.abs(coef.aa) + jnp.abs(coef.bb) + jnp.abs(coef.cc) + jnp.abs(coef.dd)
+    ne = getattr(coef, "ne", None)
+    if ne is not None:
+        rowsum = rowsum + jnp.abs(ne) + jnp.abs(coef.nw) + jnp.abs(coef.se) + jnp.abs(coef.sw)
+    return 1.0 + jnp.max(rowsum / _diag(coef))
+
+
+def chebyshev_smooth(
+    coef,
+    u: jnp.ndarray,
+    rhs: jnp.ndarray,
+    degree: int = 3,
+    lower_frac: float = 1.0 / 30.0,
+    upper_frac: float = 1.1,
+) -> jnp.ndarray:
+    """Degree-`degree` Chebyshev polynomial smoother on the Jacobi-
+    preconditioned system D⁻¹A, targeting the upper spectrum
+    [lower_frac·λ̂, upper_frac·λ̂] with λ̂ the Gershgorin bound.
+
+    New capability beyond the reference (its smoothers are red–black GS,
+    gs.cpp:109-189, and ω-Jacobi, gs.cu:244-305).  Chebyshev is the most
+    TPU-native smoother of the three: each iteration is one full stencil
+    apply + axpys — no color masks, no `where` selects, and (unlike GS) it is
+    decomposition-invariant, so the distributed solver smooths identically
+    regardless of how the mesh shards the grid.  Three-term recurrence as in
+    standard AMG practice (classic Chebyshev iteration on the residual).
+    """
+    lam = gershgorin_bound(coef).astype(u.dtype)
+    lmax = upper_frac * lam
+    # Gershgorin also lower-bounds the spectrum: λ ≥ 2 − λ̂ (= 1 − max row
+    # sum/diag).  For diagonally dominant operators (the CN system: SURVEY §0)
+    # that bound is positive and MUCH tighter than the generic AMG band
+    # λ̂/30, so the polynomial covers the whole spectrum and the smoother
+    # becomes a solver-grade contraction; for non-dominant operators the
+    # bound goes ≤ 0 and the generic band takes over.
+    lmin = jnp.maximum(lower_frac * lam, 2.0 - lam)
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    inv_diag = 1.0 / _diag(coef)
+
+    r = residual(coef, u, rhs)
+    d = (inv_diag / theta) * r
+    u = u + d
+    rho = 1.0 / sigma
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        r = residual(coef, u, rhs)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (inv_diag * r)
+        u = u + d
+        rho = rho_new
+    return u
+
+
 # ---------------------------------------------------------------------------
 # transfers: the only stride-touching ops; run once per level per cycle
 # ---------------------------------------------------------------------------

@@ -96,3 +96,65 @@ def test_nonconvergence_warning():
         warnings.simplefilter("always")
         model2.run()
     assert not any("did not converge" in str(x.message) for x in w)
+
+
+def test_chebyshev_smoother_converges():
+    """Chebyshev polynomial smoother (new capability): mg_solve reaches the
+    reference tolerance with no red-black masking anywhere in the cycle."""
+    model, rhs = _setup(smoother="chebyshev")
+    u, stats = mg_solve(model.levels, model.u0, rhs, model.solver)
+    assert bool(stats["converged"])
+    assert float(stats["rel_residual"]) < 1e-6
+
+
+def test_chebyshev_smoother_alone_reduces_residual():
+    """One Chebyshev application must contract the residual on its own
+    (smoother property, independent of the cycle)."""
+    from hpcclassmultigridproject_tpu.ops.padded import (
+        chebyshev_smooth,
+        interior_norm,
+        residual,
+    )
+
+    model, rhs = _setup()
+    lv = model.levels[0]
+    r0 = float(interior_norm(residual(lv, model.u0, rhs)))
+    u1 = chebyshev_smooth(lv, model.u0, rhs, degree=3)
+    r1 = float(interior_norm(residual(lv, u1, rhs)))
+    assert r1 < 0.2 * r0
+
+
+def test_fmg_solve_converges():
+    """FMG (nested iteration) reaches the reference tolerance with one cycle
+    per level, starting from the zero-information coarse solve."""
+    from hpcclassmultigridproject_tpu.mg.cycle import fmg_solve
+
+    model, rhs = _setup(cycle_mode="fmg", num_cycles=1)
+    u, stats = fmg_solve(model.levels, model.u0, rhs, model.solver)
+    assert bool(stats["converged"])
+    assert float(stats["rel_residual"]) < 1e-6
+
+
+def test_fmg_matches_adaptive_solution():
+    """The FMG solve and the adaptive reference-semantics solve agree to
+    solver tolerance on the same system."""
+    from hpcclassmultigridproject_tpu.mg.cycle import fmg_solve
+
+    model, rhs = _setup()
+    u_ref, _ = mg_solve(model.levels, model.u0, rhs, model.solver)
+    m2, _ = _setup(cycle_mode="fmg", num_cycles=1)
+    u_fmg, stats = fmg_solve(m2.levels, m2.u0, rhs, m2.solver)
+    assert bool(stats["converged"])
+    np.testing.assert_allclose(np.asarray(u_fmg), np.asarray(u_ref), atol=1e-8)
+
+
+def test_fmg_timestepper_mode():
+    """cycle_mode='fmg' plugs into the CN timestepper and tracks the oracle
+    center value (N=64 -> 5.708e-5, SURVEY §0)."""
+    p = ProblemConfig(n=64)
+    s = SolverConfig(dtype=jnp.float64, cycle_mode="fmg", num_cycles=1)
+    model = AdvectionDiffusion(p, s)
+    uT, stats = model.run()
+    assert bool(np.asarray(stats["converged"]).all())
+    center = model.center_value(uT)
+    np.testing.assert_allclose(center, 5.708e-5, rtol=1e-3)
