@@ -31,12 +31,20 @@ def _solver_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cycle-shape", type=int, default=1, help="1=V, 2=W")
     p.add_argument("--niter", type=int, default=3, help="pre/post smoothing sweeps")
     p.add_argument("--levels", type=int, default=None)
-    p.add_argument("--smoother", choices=["rbgs", "jacobi"], default="rbgs")
+    p.add_argument("--smoother", choices=["rbgs", "jacobi", "chebyshev"],
+                   default="rbgs")
     p.add_argument("--restriction", choices=["inject", "full"], default="inject")
     p.add_argument("--coarse", choices=["gs", "dense"], default="gs")
+    p.add_argument("--coarse-tol", type=float, default=1e-5,
+                   help="coarsest-level absolute residual (multigrid.cpp:60)")
+    p.add_argument("--coarse-maxiter", type=int, default=1000,
+                   help="coarsest-level GS iteration cap (multigrid.cpp:60)")
+    p.add_argument("--max-cycles", type=int, default=50,
+                   help="outer cycle cap MAX_CYCLE (multigrid.cpp:94)")
     p.add_argument("--coarse-operator", choices=["rediscretize", "galerkin"],
                    default="rediscretize")
-    p.add_argument("--cycle-mode", choices=["adaptive", "fixed"], default="adaptive")
+    p.add_argument("--cycle-mode", choices=["adaptive", "fixed", "fmg"],
+                   default="adaptive")
     p.add_argument("--num-cycles", type=int, default=2)
     p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
 
@@ -61,6 +69,9 @@ def _build_model(args):
         smoother=args.smoother,
         restriction=args.restriction,
         coarse_mode=args.coarse,
+        coarse_tol=args.coarse_tol,
+        coarse_maxiter=args.coarse_maxiter,
+        max_cycles=args.max_cycles,
         coarse_operator=args.coarse_operator,
         cycle_mode=args.cycle_mode,
         num_cycles=args.num_cycles,
@@ -135,12 +146,23 @@ def cmd_scaling(args) -> int:
     --mode weak: per-device work held constant — the global grid doubles with
     each 4x device count (2-D block decomposition); reports parallel
     efficiency t(1)/t(c) (the north-star weak-scaling metric).
+
+    --distributed: initialize the multi-process runtime first
+    (parallel/distributed.py; HPCMG_COORDINATOR / HPCMG_NUM_PROCESSES /
+    HPCMG_PROCESS_ID env vars, or auto-detection on managed clusters) and
+    scale over the GLOBAL device set; only process 0 prints.
     """
     import jax
 
     from hpcclassmultigridproject_tpu.parallel import distributed_run, make_mesh
     from hpcclassmultigridproject_tpu.utils.timing import time_run
 
+    if args.distributed:
+        from hpcclassmultigridproject_tpu.parallel.distributed import initialize
+
+        initialize()
+
+    emit = print if jax.process_index() == 0 else (lambda *a, **k: None)
     devices = jax.devices()
     limit = min(args.max_devices, len(devices))
     base_t = None
@@ -169,7 +191,7 @@ def cmd_scaling(args) -> int:
         rec["efficiency"] = base_t / timing["best_s"] if args.mode == "weak" else None
         if args.mode == "strong":
             rec["speedup"] = base_t / timing["best_s"]
-        print(json.dumps(rec), flush=True)
+        emit(json.dumps(rec), flush=True)
     args.n = base_n
     return 0
 
@@ -364,6 +386,8 @@ def main(argv=None) -> int:
     p.add_argument("--max-devices", type=int, default=8)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--mode", choices=["strong", "weak"], default="strong")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize jax.distributed (multi-process/DCN) first")
     p.set_defaults(fn=cmd_scaling)
 
     p = sub.add_parser("gsbench", help="GS throughput microbench (prolrestest.cu)")

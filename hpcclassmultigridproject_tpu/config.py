@@ -87,6 +87,20 @@ class SolverConfig:
                                       # convergence certificates with f32 compute for
                                       # all the heavy smoothing work
 
+    def __post_init__(self):
+        _check = {
+            "cycle_mode": ("adaptive", "fixed", "fmg"),
+            "smoother": ("rbgs", "jacobi", "chebyshev"),
+            "restriction": ("inject", "full"),
+            "coarse_mode": ("gs", "dense"),
+            "coarse_operator": ("rediscretize", "galerkin"),
+            "backend": ("auto", "jnp", "pallas"),
+        }
+        for field, allowed in _check.items():
+            val = getattr(self, field)
+            if val not in allowed:
+                raise ValueError(f"{field}={val!r} not in {allowed}")
+
     def resolved_num_levels(self, n: int) -> int:
         if self.num_levels is not None:
             return self.num_levels

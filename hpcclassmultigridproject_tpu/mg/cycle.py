@@ -45,16 +45,56 @@ def _get_smoother(cfg: SolverConfig):
     raise ValueError(f"unknown smoother {cfg.smoother!r}")
 
 
+# Smallest level extent at which backend="auto" routes through the fused
+# Pallas smoother on TPU (below this, per-kernel launch overhead beats the
+# HBM-traffic saving; measured on v5e — RESULTS.md).
+_AUTO_PALLAS_MIN_N = 512
+
+
+def _pallas_eligible(cfg: SolverConfig, level: Level, sharded: bool) -> bool:
+    """The fused kernel handles exactly: red–black GS on a 5-point operator
+    with a compile-time scalar diagonal, unsharded (pallas_call cannot be
+    block-partitioned by GSPMD), in a Mosaic-lowerable dtype."""
+    import numpy as np
+
+    from hpcclassmultigridproject_tpu.ops.pallas import smoother as psm
+
+    if cfg.smoother != "rbgs" or level.diag is not None or level.ne is not None:
+        return False
+    if sharded:
+        return False
+    if cfg.backend == "pallas":
+        return True
+    if cfg.backend != "auto":
+        return False
+    # auto: only where measured profitable — TPU (or interpret-mode tests),
+    # f32, level large enough that HBM traffic dominates launch overhead
+    if level.n < _AUTO_PALLAS_MIN_N:
+        return False
+    if np.dtype(cfg.dtype).itemsize != 4:
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu" or psm.INTERPRET
+
+
 def _smooth_block(cfg: SolverConfig, level: Level, u, rhs, nsweeps: int,
-                  want_residual: bool):
+                  want_residual: bool, sharded: bool = False):
     """`nsweeps` smoother sweeps, optionally fused with the trailing residual.
 
     backend "pallas" routes red–black GS through the fused Pallas kernel
-    (ops/pallas/smoother.py — one HBM pass for the whole block); "jnp"/"auto"
-    use the padded jnp kernels.  Pallas requires TPU (or INTERPRET mode) and
-    an f32-family dtype; callers opt in explicitly via SolverConfig.backend.
+    (ops/pallas/smoother.py — one HBM pass for the whole block); "jnp" uses
+    the padded jnp kernels; "auto" picks the measured winner per level
+    (RESULTS.md).  Pallas requires TPU (or INTERPRET mode) and an f32-family
+    dtype.
+
+    Galerkin coarse levels (spatially-varying `diag` / 9-point corner bands,
+    sparse/galerkin.py) and sharded levels fall back to the jnp path: the
+    fused kernel hard-codes the 5-point bands and the scalar diagonal, and
+    silently smoothing a 9-point operator with it would corrupt the solve
+    (the same guard the explicit-halo path enforces, parallel/halo.py).
     """
-    if cfg.backend == "pallas" and cfg.smoother == "rbgs":
+    if _pallas_eligible(cfg, level, sharded):
         from hpcclassmultigridproject_tpu.ops.pallas.smoother import fused_rb_sweeps
 
         return fused_rb_sweeps(level, u, rhs, nsweeps, want_residual)
@@ -77,7 +117,8 @@ def coarse_solve_gs(level: Level, u, rhs, cfg: SolverConfig, smoother):
     """Coarsest-level solve by smoothing to absolute residual `coarse_tol`
     (≤ `coarse_maxiter` sweeps) — multigrid.cpp:55-65 semantics exactly:
     check-before-sweep with an initial placeholder residual of 1.0."""
-    one = jnp.asarray(1.0, dtype=jnp.float32)
+    norm_dtype = jnp.promote_types(u.dtype, jnp.float32)
+    one = jnp.asarray(1.0, dtype=norm_dtype)
 
     def cond(carry):
         _, res, it = carry
@@ -87,7 +128,7 @@ def coarse_solve_gs(level: Level, u, rhs, cfg: SolverConfig, smoother):
         u, _, it = carry
         u = smoother(level, u, rhs)
         res = interior_norm(residual(level, u, rhs))
-        return u, res.astype(jnp.float32), it + 1
+        return u, res, it + 1
 
     u, _, _ = jax.lax.while_loop(cond, body, (u, one, jnp.int32(0)))
     return u
@@ -153,10 +194,14 @@ def mg_solve(levels: tuple[Level, ...], u, rhs, cfg: SolverConfig, shardings=Non
     `max_cycles` cycles (multigrid.cpp:97-120).
 
     Returns (u, stats) with stats = {"cycles", "rel_residual", "converged"}.
+
+    The tol comparison runs in the norm's accumulation dtype (f32 for f32
+    fields, f64 under x64) — never downcast, so tolerances below the f32
+    resolution (~1e-7 relative) remain meaningful in f64 mode.
     """
     fine = levels[0]
-    res0 = interior_norm(residual(fine, u, rhs)).astype(jnp.float32)
-    res0_safe = jnp.maximum(res0, jnp.finfo(jnp.float32).tiny)
+    res0 = interior_norm(residual(fine, u, rhs))
+    res0_safe = jnp.maximum(res0, jnp.finfo(res0.dtype).tiny)
 
     def cond(carry):
         _, res, it = carry
@@ -165,7 +210,7 @@ def mg_solve(levels: tuple[Level, ...], u, rhs, cfg: SolverConfig, shardings=Non
     def body(carry):
         u, _, it = carry
         u = mg_cycle(levels, u, rhs, cfg, shardings=shardings)
-        res = interior_norm(residual(fine, u, rhs)).astype(jnp.float32)
+        res = interior_norm(residual(fine, u, rhs))
         return u, res, it + 1
 
     u, res, cycles = jax.lax.while_loop(cond, body, (u, res0, jnp.int32(0)))
@@ -190,14 +235,15 @@ def mg_solve_fixed(
     default parameters anyway — SURVEY §0 "convergence is instant").
 
     The relative-residual certificate is still computed and returned in
-    stats, so callers can verify the reference tolerance was met.
+    stats, so callers can verify the reference tolerance was met.  Like
+    mg_solve, the certificate stays in the norm's accumulation dtype.
     """
     fine = levels[0]
-    res0 = interior_norm(residual(fine, u, rhs)).astype(jnp.float32)
-    res0_safe = jnp.maximum(res0, jnp.finfo(jnp.float32).tiny)
+    res0 = interior_norm(residual(fine, u, rhs))
+    res0_safe = jnp.maximum(res0, jnp.finfo(res0.dtype).tiny)
     for _ in range(cfg.num_cycles):
         u = mg_cycle(levels, u, rhs, cfg, shardings=shardings)
-    rel = interior_norm(residual(fine, u, rhs)).astype(jnp.float32) / res0_safe
+    rel = interior_norm(residual(fine, u, rhs)) / res0_safe
     stats = {
         "cycles": jnp.int32(cfg.num_cycles),
         "rel_residual": rel,
@@ -206,29 +252,11 @@ def mg_solve_fixed(
     return u, stats
 
 
-def fmg_solve(
-    levels: tuple[Level, ...], u, rhs, cfg: SolverConfig, shardings=None
-):
-    """Full multigrid (FMG / nested iteration): restrict the rhs down the
-    tower, solve the coarsest level, then work back up — at each level the
-    prolonged coarse solution seeds `cfg.num_cycles` cycles.
-
-    New capability beyond the reference (which always starts cycles from the
-    previous timestep's fine-grid state, multigrid.cpp:108-114).  FMG costs
-    ~4/3 of one fine V-cycle yet delivers a discretization-accuracy first
-    iterate, making it the right opening move for cold starts (t = 0, or
-    checkpoint-restart with no history).  The initial guess `u` only
-    contributes via the residual-norm baseline of the certificate; the FMG
-    iterate replaces it.
-
-    Like `mg_solve_fixed` this is a scan-only (while_loop-free) program; the
-    relative-residual certificate is computed against `u`'s initial residual
-    and returned in stats.
-    """
-    fine = levels[0]
-    res0 = interior_norm(residual(fine, u, rhs)).astype(jnp.float32)
-    res0_safe = jnp.maximum(res0, jnp.finfo(jnp.float32).tiny)
-
+def fmg_iterate(levels: tuple[Level, ...], rhs, cfg: SolverConfig, shardings=None):
+    """The FMG ascent itself (no certificate): restrict `rhs` down the tower,
+    solve the coarsest level, prolong upward running `cfg.num_cycles` cycles
+    per level.  Shared by `fmg_solve` and the refined path's FMG opening
+    (mg/refine.py)."""
     # restrict the rhs to every level (injection or full weighting, per cfg)
     rhs_l = [rhs]
     for lvl in range(1, len(levels)):
@@ -251,10 +279,38 @@ def fmg_solve(
         v = _constrain(prolong_bilinear(v, levels[lvl].padded), shard)
         for _ in range(cfg.num_cycles):
             v = mg_cycle(levels, v, rhs_l[lvl], cfg, lvl=lvl, shardings=shardings)
+    return v
 
-    rel = interior_norm(residual(fine, v, rhs)).astype(jnp.float32) / res0_safe
+
+def fmg_solve(
+    levels: tuple[Level, ...], u, rhs, cfg: SolverConfig, shardings=None
+):
+    """Full multigrid (FMG / nested iteration): restrict the rhs down the
+    tower, solve the coarsest level, then work back up — at each level the
+    prolonged coarse solution seeds `cfg.num_cycles` cycles.
+
+    New capability beyond the reference (which always starts cycles from the
+    previous timestep's fine-grid state, multigrid.cpp:108-114).  FMG costs
+    ~4/3 of one fine V-cycle yet delivers a discretization-accuracy first
+    iterate, making it the right opening move for cold starts (t = 0, or
+    checkpoint-restart with no history).  The initial guess `u` only
+    contributes via the residual-norm baseline of the certificate; the FMG
+    iterate replaces it.
+
+    Like `mg_solve_fixed` this is a scan-only (while_loop-free) program; the
+    relative-residual certificate is computed against `u`'s initial residual
+    and returned in stats.
+    """
+    fine = levels[0]
+    res0 = interior_norm(residual(fine, u, rhs))
+    res0_safe = jnp.maximum(res0, jnp.finfo(res0.dtype).tiny)
+    v = fmg_iterate(levels, rhs, cfg, shardings=shardings)
+    rel = interior_norm(residual(fine, v, rhs)) / res0_safe
     stats = {
-        "cycles": jnp.int32(cfg.num_cycles),
+        # total cycles performed across the ascent: num_cycles at each of the
+        # (num_levels - 1) non-coarsest levels (the coarsest direct solve is
+        # not a cycle)
+        "cycles": jnp.int32(cfg.num_cycles * (len(levels) - 1)),
         "rel_residual": rel,
         "converged": rel <= cfg.tol,
     }

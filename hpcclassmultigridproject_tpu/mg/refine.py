@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from hpcclassmultigridproject_tpu.config import SolverConfig
-from hpcclassmultigridproject_tpu.mg.cycle import mg_cycle
+from hpcclassmultigridproject_tpu.mg.cycle import fmg_iterate, mg_cycle
 from hpcclassmultigridproject_tpu.mg.levels import Level
 from hpcclassmultigridproject_tpu.ops.padded import (
     _diag,
@@ -59,7 +59,9 @@ def refined_solve(
     (coefficients only; same grid).  cycle_mode "adaptive" reproduces the
     reference outer-loop semantics (multigrid.cpp:97-120) on the refined
     iteration; "fixed" runs exactly `cfg.num_cycles` refinement cycles
-    (scan-only program, residual certificate in stats).
+    (scan-only program, residual certificate in stats); "fmg" is "fixed"
+    with a full-multigrid ascent as the first correction (cold-start
+    opening).
 
     `r0` optionally supplies the precomputed initial residual rhs − A·u
     (the CN opening computes it fused with the rhs, ops/padded.py::
@@ -75,9 +77,17 @@ def refined_solve(
     res0 = interior_norm(r_lo)
     res0_safe = jnp.maximum(res0, jnp.finfo(res0.dtype).tiny)
 
-    if cfg.cycle_mode == "fixed":
-        for _ in range(cfg.num_cycles):
-            u = u + _correction(levels, r_lo, cfg, shardings).astype(u.dtype)
+    if cfg.cycle_mode in ("fixed", "fmg"):
+        # "fmg": the FIRST correction is a full-multigrid ascent (nested
+        # iteration on the error equation A e = r — the right cold-start
+        # move), subsequent corrections are plain cycles.  "fixed": all
+        # corrections are plain cycles.  Both are scan-only programs.
+        for k in range(cfg.num_cycles):
+            if cfg.cycle_mode == "fmg" and k == 0:
+                e = fmg_iterate(levels, r_lo, cfg, shardings=shardings)
+            else:
+                e = _correction(levels, r_lo, cfg, shardings)
+            u = u + e.astype(u.dtype)
             r_lo = residual(fine_hi, u, rhs).astype(cfg.dtype)
         rel = interior_norm(r_lo) / res0_safe
         cycles = jnp.int32(cfg.num_cycles)

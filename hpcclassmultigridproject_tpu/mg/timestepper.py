@@ -8,8 +8,10 @@ Solve-path dispatch (all combinations share the same cycle kernels):
   cycle_mode   refine_dtype   solver
   adaptive     None           mg_solve          (reference mg_outer semantics)
   fixed        None           mg_solve_fixed    (scan-only TPU fast path)
+  fmg          None           fmg_solve         (full-multigrid opening)
   adaptive     float64        refined_solve     (mixed-precision refinement)
   fixed        float64        refined_solve     (fast path + f64 certificate)
+  fmg          float64        refined_solve     (FMG first correction)
 """
 
 from __future__ import annotations
@@ -57,7 +59,20 @@ def timestepper(
     fine_hi: Level | None = None,
     shardings=None,
 ):
-    """Run `num_steps` CN steps; returns (uT, per-step stats pytree)."""
+    """Run `num_steps` CN steps; returns (uT, per-step stats pytree).
+
+    The refined fixed-cycle configuration routes through the cross-step
+    fused stepper (mg/refine.py::timestepper_refined_fused): the step-t
+    closing certificate residual and the step-(t+1) CN opening share one
+    high-precision fine-grid stencil pass, halving the emulated-f64 work
+    that dominates the refined step.  Identical stats semantics (asserted
+    against the per-step path by tests/test_refine.py)."""
+    if fine_hi is not None and cfg.cycle_mode == "fixed":
+        from hpcclassmultigridproject_tpu.mg.refine import timestepper_refined_fused
+
+        return timestepper_refined_fused(
+            levels, fine_hi, u0, num_steps, cfg, shardings=shardings
+        )
 
     def step(u, _):
         u, stats = timestep(levels, u, cfg, fine_hi=fine_hi, shardings=shardings)

@@ -27,7 +27,7 @@ from hpcclassmultigridproject_tpu.core.layout import (
     pad_field,
     padded_shape,
 )
-from hpcclassmultigridproject_tpu.mg.cycle import mg_solve, mg_solve_fixed
+from hpcclassmultigridproject_tpu.mg.cycle import fmg_solve, mg_solve, mg_solve_fixed
 from hpcclassmultigridproject_tpu.mg.levels import Level
 from hpcclassmultigridproject_tpu.ops.padded import (
     interior_norm,
@@ -111,7 +111,11 @@ class Poisson:
 
         def run(levels, rhs):
             u0 = jnp.zeros_like(rhs)
-            solve = mg_solve_fixed if cfg.cycle_mode == "fixed" else mg_solve
+            solve = {
+                "fixed": mg_solve_fixed,
+                "fmg": fmg_solve,
+                "adaptive": mg_solve,
+            }[cfg.cycle_mode]
             return solve(levels, u0, rhs, cfg)
 
         return jax.jit(run)

@@ -131,7 +131,10 @@ def gershgorin_bound(coef) -> jnp.ndarray:
     ne = getattr(coef, "ne", None)
     if ne is not None:
         rowsum = rowsum + jnp.abs(ne) + jnp.abs(coef.nw) + jnp.abs(coef.se) + jnp.abs(coef.sw)
-    return 1.0 + jnp.max(rowsum / _diag(coef))
+    # |diag|: the CN convention keeps diag_a = 1 - 4rν > 0 (ν negative,
+    # multigrid.cpp:235), but a user passing physical ν > 0 would flip the
+    # sign and silently poison the spectrum bound without the abs
+    return 1.0 + jnp.max(rowsum / jnp.abs(_diag(coef)))
 
 
 def chebyshev_smooth(

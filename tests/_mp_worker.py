@@ -1,0 +1,69 @@
+"""Worker process for tests/test_multiprocess.py: one JAX process of a
+2-process x 4-virtual-CPU-device distributed run (the DCN fake-backend
+analog — SURVEY §4's multi-device CPU strategy extended across process
+boundaries).
+
+Usage: python tests/_mp_worker.py <port> <num_processes> <process_id> <out>
+"""
+
+import json
+import os
+import sys
+
+
+def main():
+    port, nproc, pid, outfile = sys.argv[1:5]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    import jax
+
+    # config API, not the env var: the axon site hook re-forces
+    # JAX_PLATFORMS=axon at interpreter startup (same pattern as conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+    from hpcclassmultigridproject_tpu.parallel.distributed import (
+        fetch,
+        initialize,
+        is_multiprocess,
+    )
+
+    initialize(f"localhost:{port}", int(nproc), int(pid))
+    assert jax.process_count() == int(nproc)
+    assert jax.device_count() == 4 * int(nproc)
+    assert is_multiprocess()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hpcclassmultigridproject_tpu import ProblemConfig, SolverConfig
+    from hpcclassmultigridproject_tpu.models import AdvectionDiffusion
+    from hpcclassmultigridproject_tpu.parallel import distributed_run, make_mesh
+
+    model = AdvectionDiffusion(
+        ProblemConfig(n=64, num_steps=5),
+        SolverConfig(
+            dtype=jnp.float32, refine_dtype=jnp.float64, tol=1e-6,
+            cycle_mode="fixed", num_cycles=1, coarse_mode="dense",
+        ),
+    )
+    mesh = make_mesh()  # global devices across both processes
+    uT, stats = distributed_run(model, mesh, min_local=8)
+    uT_np = fetch(uT)
+    rel = float(np.asarray(fetch(stats["rel_residual"])).max())
+    if int(pid) == 0:
+        np.save(outfile, uT_np)
+        with open(outfile + ".json", "w") as f:
+            json.dump(
+                {
+                    "devices": jax.device_count(),
+                    "processes": jax.process_count(),
+                    "mesh": {k: int(v) for k, v in mesh.shape.items()},
+                    "max_rel_residual": rel,
+                },
+                f,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hpcclassmultigridproject_tpu import (
     ProblemConfig,
@@ -59,6 +60,7 @@ def test_jacobi_smoother_converges():
     assert bool(stats["converged"])
 
 
+@pytest.mark.slow
 def test_deep_hierarchy_converges():
     """More levels than the reference heuristic (coarsest 4x4)."""
     model, rhs = _setup(num_levels=5)  # n=64 -> coarsest 4
@@ -146,6 +148,35 @@ def test_fmg_matches_adaptive_solution():
     u_fmg, stats = fmg_solve(m2.levels, m2.u0, rhs, m2.solver)
     assert bool(stats["converged"])
     np.testing.assert_allclose(np.asarray(u_fmg), np.asarray(u_ref), atol=1e-8)
+
+
+def test_tight_tolerance_f64_certificate():
+    """tol=1e-8 in f64: the tol comparison must run in the accumulation dtype
+    (an f32 downcast of the norms floors the measurable relative residual at
+    ~1e-7 — VERDICT r1 item 9)."""
+    model, rhs = _setup(tol=1e-8)
+    u, stats = mg_solve(model.levels, model.u0, rhs, model.solver)
+    assert bool(stats["converged"])
+    rel = np.asarray(stats["rel_residual"])
+    assert rel.dtype == np.float64
+    assert float(rel) <= 1e-8
+
+
+def test_solver_config_validation():
+    """Unknown mode strings fail fast at construction, not silently at
+    dispatch (ADVICE r1)."""
+    import pytest
+
+    for field, bad in [
+        ("cycle_mode", "vcycle"),
+        ("smoother", "sor"),
+        ("restriction", "harmonic"),
+        ("coarse_mode", "lu"),
+        ("coarse_operator", "rap"),
+        ("backend", "cuda"),
+    ]:
+        with pytest.raises(ValueError):
+            SolverConfig(**{field: bad})
 
 
 def test_fmg_timestepper_mode():

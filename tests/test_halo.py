@@ -26,6 +26,7 @@ def _setup(n=64):
     return level, pad_field(jnp.asarray(u)), pad_field(jnp.asarray(rhs))
 
 
+@pytest.mark.slow
 def test_halo_sweeps_match_single_device():
     level, u, rhs = _setup()
     mesh = make_mesh()  # (2, 4) over 8 virtual devices
@@ -36,6 +37,7 @@ def test_halo_sweeps_match_single_device():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_halo_residual_and_norm_match():
     level, u, rhs = _setup()
     mesh = make_mesh()

@@ -48,6 +48,7 @@ def test_mg_beats_gs_iterations():
     assert int(gs_stats["iters"]) > 100
 
 
+@pytest.mark.slow
 def test_manufactured_solution_convergence():
     """u* = sin(pi x) sin(pi y): discretization error shrinks ~4x per
     refinement (2nd-order central differences)."""
@@ -68,6 +69,25 @@ def test_manufactured_solution_convergence():
     assert errs[1] / errs[2] == pytest.approx(4.0, rel=0.2)
 
 
+@pytest.mark.slow
+def test_fmg_mode():
+    """cycle_mode='fmg' is wired (not a silent fallback to mg_solve —
+    ADVICE r1); FMG with one cycle per level reaches near-discretization
+    residual on the Laplacian."""
+    m = Poisson(
+        n=64,
+        solver=SolverConfig(
+            dtype=jnp.float64, coarse_mode="dense", cycle_mode="fmg",
+            num_cycles=4, num_levels=3, restriction="full",
+        ),
+    )
+    u, stats = m.solve()
+    assert float(stats["rel_residual"]) < 1e-6
+    # fmg stats report TOTAL cycles: num_cycles per non-coarsest level
+    assert int(stats["cycles"]) == 4 * 2
+
+
+@pytest.mark.slow
 def test_dense_coarse_and_fixed_mode():
     m = Poisson(
         n=64,
