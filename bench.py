@@ -10,6 +10,11 @@ Flagship configuration (the TPU-native fast path):
   * padded (8,128)-tile layout (core/layout.py)
   * f32 V-cycle compute + f64 iterative refinement (mg/refine.py) — certifies
     the reference's double-precision tol=1e-6 contract
+  * cross-step fused stepper (timestepper_refined_fused): one emulated-f64
+    fine-grid stencil pass per step serves the CN opening AND the previous
+    step's certificate
+  * fused Pallas red–black smoother (backend="auto" resolves to it on TPU —
+    measured winner at every size, RESULTS.md)
   * fixed cycle count (scan-only program, no data-dependent while loops —
     the axon compiler pathology) with the residual certificate in stats
   * dense MXU coarse solve (precomputed inverse — the solve the reference
@@ -74,7 +79,8 @@ def main():
         "vs_baseline": round(BASELINE_N1024_S / secs, 2),
         "detail": {
             "device": str(jax.devices()[0]),
-            "config": "f32 cycles + f64 refinement, fixed 1 cycle/step, dense coarse",
+            "config": "f32 cycles + f64 refinement, fused stepper, pallas "
+                      "smoother (auto), fixed 1 cycle/step, dense coarse",
             "center_uT": center,
             "max_rel_residual": max_rel,
             "meets_reference_tol_1e-6": max_rel <= REFERENCE_TOL,

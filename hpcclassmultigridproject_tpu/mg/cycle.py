@@ -46,9 +46,10 @@ def _get_smoother(cfg: SolverConfig):
 
 
 # Smallest level extent at which backend="auto" routes through the fused
-# Pallas smoother on TPU (below this, per-kernel launch overhead beats the
-# HBM-traffic saving; measured on v5e — RESULTS.md).
-_AUTO_PALLAS_MIN_N = 512
+# Pallas smoother on TPU.  Measured on v5e (RESULTS.md): the fused kernel
+# wins at EVERY size — 2.9x at n=32, 1.3x at n=1024, 4.5x at n=2048 (where
+# XLA's fusion of the 6-color-pass jnp form falls apart) — so no floor.
+_AUTO_PALLAS_MIN_N = 0
 
 
 def _pallas_eligible(cfg: SolverConfig, level: Level, sharded: bool) -> bool:
@@ -56,8 +57,6 @@ def _pallas_eligible(cfg: SolverConfig, level: Level, sharded: bool) -> bool:
     with a compile-time scalar diagonal, unsharded (pallas_call cannot be
     block-partitioned by GSPMD), in a Mosaic-lowerable dtype."""
     import numpy as np
-
-    from hpcclassmultigridproject_tpu.ops.pallas import smoother as psm
 
     if cfg.smoother != "rbgs" or level.diag is not None or level.ne is not None:
         return False
@@ -67,15 +66,16 @@ def _pallas_eligible(cfg: SolverConfig, level: Level, sharded: bool) -> bool:
         return True
     if cfg.backend != "auto":
         return False
-    # auto: only where measured profitable — TPU (or interpret-mode tests),
-    # f32, level large enough that HBM traffic dominates launch overhead
+    # auto: only where measured profitable — real TPU (explicit
+    # backend="pallas" is the interpret-mode test hook), f32, level at least
+    # the measured floor
     if level.n < _AUTO_PALLAS_MIN_N:
         return False
     if np.dtype(cfg.dtype).itemsize != 4:
         return False
     import jax
 
-    return jax.default_backend() == "tpu" or psm.INTERPRET
+    return jax.default_backend() == "tpu"
 
 
 def _smooth_block(cfg: SolverConfig, level: Level, u, rhs, nsweeps: int,
@@ -172,6 +172,9 @@ def mg_cycle(
     smoother = _get_smoother(cfg)
     shard = None if shardings is None else shardings[lvl]
     shard_c = None if shardings is None else shardings[lvl + 1] if lvl + 1 < len(levels) else None
+    # a level is "sharded" when its spec actually partitions (replicated
+    # P() levels run the whole grid per chip and may use the Pallas path)
+    sharded = shard is not None and len(shard.spec) > 0
 
     for _ in range(cfg.cycle_shape):
         if lvl == len(levels) - 1:
@@ -180,12 +183,14 @@ def mg_cycle(
             else:
                 u = coarse_solve_gs(level, u, rhs, cfg, smoother)
         else:
-            u, res = _smooth_block(cfg, level, u, rhs, cfg.niter, True)
+            u, res = _smooth_block(cfg, level, u, rhs, cfg.niter, True,
+                                   sharded=sharded)
             rhs_c = _constrain(_restrict(cfg, res, levels[lvl + 1]), shard_c)
             u_c = jnp.zeros_like(rhs_c)
             u_c = mg_cycle(levels, u_c, rhs_c, cfg, lvl + 1, shardings)
             u = u + _constrain(prolong_bilinear(u_c, level.padded), shard)
-            u, _ = _smooth_block(cfg, level, u, rhs, cfg.niter, False)
+            u, _ = _smooth_block(cfg, level, u, rhs, cfg.niter, False,
+                                 sharded=sharded)
     return u
 
 

@@ -129,17 +129,21 @@ def _fused(u, rhs, aa, bb, cc, dd, *, nsweeps, diag_a, want_residual):
     grid = pl.cdiv(rows, bh)
 
     # overlapping element-offset windows: rows [max(i*bh-h, 0), +bh+2h)
+    # index-map returns pinned to i32: under jax_enable_x64 a bare Python 0
+    # stages as i64 and Mosaic cannot legalize the (i32, i64) map signature
     in_spec = pl.BlockSpec(
         (pl.Element(bh + 2 * h, (0, bh + 2 * h)), pl.Element(cols, (0, 0))),
         lambda i: (
             pl.multiple_of(
                 jnp.maximum(i * jnp.int32(bh) - jnp.int32(h), jnp.int32(0)), 8
             ),
-            0,
+            jnp.int32(0),
         ),
         memory_space=pltpu.VMEM,
     )
-    out_spec = pl.BlockSpec((bh, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (bh, cols), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+    )
     out_shape = jax.ShapeDtypeStruct(u.shape, u.dtype)
     if want_residual:
         out_shape = (out_shape, jax.ShapeDtypeStruct(u.shape, u.dtype))
