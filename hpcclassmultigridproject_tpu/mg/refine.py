@@ -33,8 +33,23 @@ from hpcclassmultigridproject_tpu.ops.padded import (
     _diag,
     interior_norm,
     neighbor_sum,
+    neighbor_sum_from_v,
     residual,
+    residual_from_v,
 )
+
+
+def _plain_5pt(level) -> bool:
+    return level.diag is None and level.ne is None
+
+
+def _hi_residual(fine_hi, u, rhs):
+    """High-precision residual.  NOTE: the recomputed-coefficient
+    (residual_from_v) variant was measured SLOWER here — emulated-f64
+    multiplies for the on-the-fly coefficients cost more than the 2 saved
+    array reads (0.0773 s vs 0.0649 s full-run, RESULTS.md) — so the
+    high-precision path keeps precomputed coefficient fields."""
+    return residual(fine_hi, u, rhs)
 
 
 def _correction(levels, r_lo, cfg, shardings):
@@ -72,7 +87,7 @@ def refined_solve(
     high-precision pass; a relative residual measured at ~1e-7 accuracy is
     ample for the reference's 1e-6 tolerance (achieved: ~5e-8).
     """
-    r = residual(fine_hi, u, rhs) if r0 is None else r0
+    r = _hi_residual(fine_hi, u, rhs) if r0 is None else r0
     r_lo = r.astype(cfg.dtype)
     res0 = interior_norm(r_lo)
     res0_safe = jnp.maximum(res0, jnp.finfo(res0.dtype).tiny)
@@ -88,7 +103,7 @@ def refined_solve(
             else:
                 e = _correction(levels, r_lo, cfg, shardings)
             u = u + e.astype(u.dtype)
-            r_lo = residual(fine_hi, u, rhs).astype(cfg.dtype)
+            r_lo = _hi_residual(fine_hi, u, rhs).astype(cfg.dtype)
         rel = interior_norm(r_lo) / res0_safe
         cycles = jnp.int32(cfg.num_cycles)
     else:
@@ -100,7 +115,7 @@ def refined_solve(
         def body(carry):
             u, r_lo, _, it = carry
             u = u + _correction(levels, r_lo, cfg, shardings).astype(u.dtype)
-            r_lo = residual(fine_hi, u, rhs).astype(cfg.dtype)
+            r_lo = _hi_residual(fine_hi, u, rhs).astype(cfg.dtype)
             return u, r_lo, interior_norm(r_lo), it + 1
 
         u, r_lo, res, cycles = jax.lax.while_loop(
@@ -153,7 +168,7 @@ def timestepper_refined_fused(
         for k in range(cfg.num_cycles):
             u = u + _correction(levels, r_lo, cfg, shardings).astype(u.dtype)
             if k + 1 < cfg.num_cycles:
-                r_lo = residual(fine_hi, u, rhs).astype(cfg.dtype)
+                r_lo = _hi_residual(fine_hi, u, rhs).astype(cfg.dtype)
         return (u, rhs, res0), rel_prev
 
     carry0 = (u0, jnp.zeros_like(u0), jnp.float32(1.0))
@@ -161,7 +176,7 @@ def timestepper_refined_fused(
         step, carry0, None, length=num_steps
     )
     rel_last = (
-        interior_norm(residual(fine_hi, uT, rhs_last).astype(cfg.dtype))
+        interior_norm(_hi_residual(fine_hi, uT, rhs_last).astype(cfg.dtype))
         .astype(jnp.float32) / res0_last
     )
     rel = jnp.concatenate([rels[1:], rel_last[None]])

@@ -39,6 +39,8 @@ def timestep(
     the solve run under mixed-precision iterative refinement (mg/refine.py).
     """
     if fine_hi is not None:
+        # precomputed coefficients on purpose: the from_v opening measured
+        # slower in emulated f64 (RESULTS.md "negative results")
         rhs, r0 = rhs_and_residual0(fine_hi, u)
         return refined_solve(
             levels, fine_hi, u, rhs, cfg, shardings=shardings, r0=r0

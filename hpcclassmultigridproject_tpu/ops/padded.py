@@ -84,6 +84,60 @@ def rhs_and_residual0(coef, u: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return rhs, r0
 
 
+def _coefs_from_v(level):
+    """Recompute (aa, bb, cc, dd) from the velocity fields on the fly —
+    the reference's own per-point strategy (gs.cpp:126-129), resurrected for
+    the opposite reason: on TPU the stencil is HBM-bandwidth-bound and the
+    high-precision (emulated-f64) opening pass pays ~2x the traffic for
+    4 precomputed coefficient arrays vs 2 velocity arrays; the coefficient
+    ARITHMETIC is free on the VPU.
+
+    Expression shape mirrors mg/levels.py::_np_cn_coefficients exactly, so
+    in IEEE f64 (CPU / interpret) the values are bit-identical to the
+    precomputed fields.
+    """
+    rr = 0.5 * level.dt / (level.h * level.h)
+    half_h = 0.5 * level.h
+    nu = level.nu
+    from hpcclassmultigridproject_tpu.core.layout import interior_mask
+
+    mask = interior_mask(level.n, level.padded, dtype=level.v1.dtype)
+    aa = rr * (-level.v2 * half_h + nu) * mask
+    bb = rr * (level.v2 * half_h + nu) * mask
+    cc = rr * (-level.v1 * half_h + nu) * mask
+    dd = rr * (level.v1 * half_h + nu) * mask
+    return aa, bb, cc, dd
+
+
+def neighbor_sum_from_v(level, u: jnp.ndarray) -> jnp.ndarray:
+    """`neighbor_sum` with coefficients recomputed from (v1, v2): reads two
+    arrays instead of four.  5-point rediscretized levels only (Galerkin
+    levels carry no velocity-consistent bands)."""
+    aa, bb, cc, dd = _coefs_from_v(level)
+    return (
+        cc * shift(u, -1, 0)
+        + dd * shift(u, 1, 0)
+        + aa * shift(u, 0, -1)
+        + bb * shift(u, 0, 1)
+    )
+
+
+def rhs_and_residual0_from_v(level, u: jnp.ndarray):
+    """`rhs_and_residual0` on the recomputed-coefficient path — the
+    production opening of the refined timestep (mg/refine.py), where the
+    emulated-f64 coefficient traffic dominated the step (RESULTS.md)."""
+    ns = neighbor_sum_from_v(level, u)
+    rhs = level.diag_b * u - ns
+    r0 = rhs - level.diag_a * u - ns
+    return rhs, r0
+
+
+def residual_from_v(level, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """`residual` on the recomputed-coefficient path (5-point levels with a
+    scalar diagonal only)."""
+    return rhs - level.diag_a * u - neighbor_sum_from_v(level, u)
+
+
 def residual(coef, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """res = rhs − A·u (gs.cpp:55-83); zero outside the interior by the
     coefficient-masking invariant (the Galerkin diag is 1 outside the

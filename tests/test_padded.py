@@ -159,3 +159,26 @@ def test_prolong_bilinear_equal():
     np.testing.assert_allclose(
         np.asarray(crop_field(got, N)), want, rtol=0, atol=1e-14
     )
+
+
+def test_from_v_variants_match_precomputed():
+    """The recomputed-coefficient (from_v) kernels are bit-identical to the
+    precomputed-field kernels in IEEE f64 — the expressions mirror
+    mg/levels.py::_np_cn_coefficients exactly (production opening of the
+    refined timestep, RESULTS.md)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hpcclassmultigridproject_tpu import ProblemConfig, SolverConfig
+    from hpcclassmultigridproject_tpu.models import AdvectionDiffusion
+    from hpcclassmultigridproject_tpu.ops import padded as pops
+
+    m = AdvectionDiffusion(ProblemConfig(n=64), SolverConfig(dtype=jnp.float64))
+    level, u = m.levels[0], m.u0
+    rhs0, r00 = pops.rhs_and_residual0(level, u)
+    rhs1, r01 = pops.rhs_and_residual0_from_v(level, u)
+    np.testing.assert_array_equal(np.asarray(rhs0), np.asarray(rhs1))
+    np.testing.assert_array_equal(np.asarray(r00), np.asarray(r01))
+    res0 = pops.residual(level, u, rhs0)
+    res1 = pops.residual_from_v(level, u, rhs0)
+    np.testing.assert_array_equal(np.asarray(res0), np.asarray(res1))
