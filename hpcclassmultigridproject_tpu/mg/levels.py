@@ -63,6 +63,10 @@ class Level:
     nu: float = _static(default=0.0)
     diag_a: float = _static(default=1.0)
     diag_b: float = _static(default=1.0)
+    # True iff (aa..dd) follow the CN formula of (v1, v2, dt, nu, h) — lets
+    # bandwidth-bound kernels recompute coefficients from the two velocity
+    # fields instead of loading four (ops/pallas/smoother.py, *_from_v)
+    cn_from_v: bool = _static(default=False)
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -160,6 +164,7 @@ def _np_level(v1p, v2p, n, h, dt, nu, dtype) -> Level:
         v1=as_dev(v1p), v2=as_dev(v2p), a_inv=None,
         n=n, h=h, dt=dt, nu=nu,
         diag_a=float(coef["diag_a"]), diag_b=float(coef["diag_b"]),
+        cn_from_v=True,
     )
 
 

@@ -33,14 +33,8 @@ from hpcclassmultigridproject_tpu.ops.padded import (
     _diag,
     interior_norm,
     neighbor_sum,
-    neighbor_sum_from_v,
     residual,
-    residual_from_v,
 )
-
-
-def _plain_5pt(level) -> bool:
-    return level.diag is None and level.ne is None
 
 
 def _hi_residual(fine_hi, u, rhs):

@@ -37,9 +37,13 @@ from jax.experimental.pallas import tpu as pltpu
 # Flip for CPU-based testing of the kernel (tests/test_pallas.py).
 INTERPRET = False
 
-# Input-window working-set target; the chip has 16 MB VMEM and Mosaic
-# double-buffers grid inputs plus elementwise temporaries.
-_VMEM_BUDGET = 3 * 1024 * 1024
+# Input-window working-set target; the chip has 16 MB VMEM and the true
+# footprint is ~(2x double-buffered windows + ~10 window-sized kernel
+# temporaries + 2x outputs).  Swept on-chip (RESULTS.md): taller bands cut
+# the h-row halo recompute overhead (n=2048 blocks improved ~2x over the
+# 3 MB setting), but 6 MB intermittently exceeds the 16 MB scoped-vmem limit
+# (21.2 M observed) — 4 MB is the largest always-safe setting.
+_VMEM_BUDGET = 4 * 1024 * 1024
 
 
 def _halo(nsweeps: int) -> int:
@@ -57,8 +61,12 @@ def _pick_band(rows: int, cols: int, itemsize: int, h: int) -> int:
     return bh
 
 
-def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, *refs):
-    # refs: u, rhs, aa, bb, cc, dd windows of shape (bh+2h, cols), then outputs
+def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, *refs):
+    # refs: with cn=None, (u, rhs, aa, bb, cc, dd) windows of shape
+    # (bh+2h, cols); with cn=(rr, half_h, nu, n), (u, rhs, v1, v2) windows
+    # and the CN coefficients are recomputed in-kernel (the reference's own
+    # per-point strategy, gs.cpp:126-129 — on TPU it trades 2 HBM array
+    # reads for a handful of free VPU flops).  Then outputs.
     i = pl.program_id(0)
     first = i == 0
     last = i == pl.num_programs(0) - 1
@@ -77,7 +85,26 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, *refs):
     # cannot lower (f64 convert recursion), so zeros are dtype-exact.
     dtype = refs[0].dtype
     zero = dtype.type(0)
-    u, rhs, aa, bb, cc, dd = (jnp.where(exists, r[:], zero) for r in refs[:6])
+    if cn is None:
+        u, rhs, aa, bb, cc, dd = (jnp.where(exists, r[:], zero) for r in refs[:6])
+    else:
+        u, rhs, v1, v2 = (jnp.where(exists, r[:], zero) for r in refs[:4])
+        rr_c, hh_c, nu_c, n_c = cn
+        rr = dtype.type(rr_c)
+        hh = dtype.type(hh_c)
+        nu = dtype.type(nu_c)
+        # open-interior mask in GLOBAL indices (core/layout.py invariant:
+        # coefficients are zero outside [1:n, 1:n]); expression shape mirrors
+        # mg/levels.py::_np_cn_coefficients for f64 bit-parity in tests
+        one_i = jnp.int32(1)
+        nm1 = jnp.int32(n_c - 1)
+        interior = ((g >= one_i) & (g <= nm1)
+                    & (c_idx >= one_i) & (c_idx <= nm1))
+        mask = jnp.where(interior, dtype.type(1), zero)
+        aa = rr * (-v2 * hh + nu) * mask
+        bb = rr * (v2 * hh + nu) * mask
+        cc = rr * (-v1 * hh + nu) * mask
+        dd = rr * (v1 * hh + nu) * mask
 
     def nb(x):
         up = jnp.pad(x[:-1, :], ((1, 0), (0, 0)), constant_values=zero)
@@ -105,28 +132,31 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, *refs):
     # h otherwise — two static slices under pl.when (Mosaic has no value
     # dynamic_slice)
     res = rhs - diag_a * u - nb(u) if want_residual else None
+    n_in = 6 if cn is None else 4
 
     @pl.when(first)
     def _():
-        refs[6][:] = u[0:bh, :]
+        refs[n_in][:] = u[0:bh, :]
         if want_residual:
-            refs[7][:] = res[0:bh, :]
+            refs[n_in + 1][:] = res[0:bh, :]
 
     @pl.when(jnp.logical_not(first))
     def _():
-        refs[6][:] = u[h:h + bh, :]
+        refs[n_in][:] = u[h:h + bh, :]
         if want_residual:
-            refs[7][:] = res[h:h + bh, :]
+            refs[n_in + 1][:] = res[h:h + bh, :]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nsweeps", "diag_a", "want_residual")
+    jax.jit, static_argnames=("nsweeps", "diag_a", "want_residual", "cn")
 )
-def _fused(u, rhs, aa, bb, cc, dd, *, nsweeps, diag_a, want_residual):
+def _fused(u, rhs, *fields, nsweeps, diag_a, want_residual, cn=None):
+    # fields: (aa, bb, cc, dd) precomputed, or (v1, v2) with cn set
     rows, cols = u.shape
     h = _halo(nsweeps)
     bh = _pick_band(rows, cols, u.dtype.itemsize, h)
     grid = pl.cdiv(rows, bh)
+    n_in = 2 + len(fields)
 
     # overlapping element-offset windows: rows [max(i*bh-h, 0), +bh+2h)
     # index-map returns pinned to i32: under jax_enable_x64 a bare Python 0
@@ -150,22 +180,42 @@ def _fused(u, rhs, aa, bb, cc, dd, *, nsweeps, diag_a, want_residual):
         out_spec = (out_spec, out_spec)
 
     return pl.pallas_call(
-        functools.partial(_kernel, nsweeps, bh, h, rows, diag_a, want_residual),
+        functools.partial(
+            _kernel, nsweeps, bh, h, rows, diag_a, want_residual, cn
+        ),
         grid=(grid,),
-        in_specs=[in_spec] * 6,
+        in_specs=[in_spec] * n_in,
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=INTERPRET,
-    )(u, rhs, aa, bb, cc, dd)
+    )(u, rhs, *fields)
 
 
 def fused_rb_sweeps(level, u, rhs, nsweeps: int, want_residual: bool = False):
     """`nsweeps` red–black GS sweeps (+ optional trailing residual) in one
     fused HBM pass.  Drop-in replacement for `nsweeps` calls of
     ops/padded.py::rb_gauss_seidel (+ one residual); see tests/test_pallas.py
-    for the equivalence suite."""
-    out = _fused(
-        u, rhs, level.aa, level.bb, level.cc, level.dd,
-        nsweeps=nsweeps, diag_a=level.diag_a, want_residual=want_residual,
-    )
+    for the equivalence suite.
+
+    CN levels built from velocity fields (level.cn_from_v) use the
+    recomputed-coefficient kernel: the band windows read (u, rhs, v1, v2)
+    instead of (u, rhs, aa, bb, cc, dd) — 25-30% less HBM traffic for the
+    bandwidth-bound smoother, with the coefficient flops free on the VPU."""
+    if getattr(level, "cn_from_v", False):
+        cn = (
+            0.5 * level.dt / (level.h * level.h),
+            0.5 * level.h,
+            level.nu,
+            level.n,
+        )
+        out = _fused(
+            u, rhs, level.v1, level.v2,
+            nsweeps=nsweeps, diag_a=level.diag_a,
+            want_residual=want_residual, cn=cn,
+        )
+    else:
+        out = _fused(
+            u, rhs, level.aa, level.bb, level.cc, level.dd,
+            nsweeps=nsweeps, diag_a=level.diag_a, want_residual=want_residual,
+        )
     return out if want_residual else (out, None)

@@ -91,6 +91,73 @@ def _residual_local(level_blk, u, rhs, ax_x: str, ax_y: str):
     return rhs - diag * u - nb
 
 
+def _sweep_local_overlapped(level_blk, u, rhs, ax_x: str, ax_y: str):
+    """One red–black sweep with communication/computation overlap.
+
+    Numerically identical to `_sweep_local` (asserted by tests/test_halo.py),
+    but restructured so XLA can hide the ICI latency (SURVEY §7.6 "overlap of
+    halo collectives with interior compute"): each color pass issues the four
+    ppermute edge sends FIRST, then computes the block-interior update —
+    which depends only on local rows/cols — while the collectives are in
+    flight, and finally patches the four border lines that need the remote
+    halos.  XLA lowers the ppermutes to collective-permute-start/done pairs;
+    everything scheduled between start and done (the interior update) rides
+    for free.
+    """
+    inv_diag = 1.0 / level_blk.diag_a if level_blk.diag is None else 1.0 / level_blk.diag
+    aa, bb, cc, dd = level_blk.aa, level_blk.bb, level_blk.cc, level_blk.dd
+    cat = jnp.concatenate
+
+    def color_pass(u, parity):
+        # 1) kick off the halo exchange (ppermutes are independent of the
+        #    interior arithmetic below, so XLA schedules the collective
+        #    permutes concurrently with step 2)
+        top = _from_prev(u[-1:, :], ax_x)
+        bot = _from_next(u[:1, :], ax_x)
+        lef = _from_prev(u[:, -1:], ax_y)
+        rig = _from_next(u[:, :1], ax_y)
+        # 2) interior update from purely local shifts (zero-fill at block
+        #    edges; border lines rewritten in step 3)
+        up_l = jnp.pad(u[:-1, :], ((1, 0), (0, 0)))
+        dn_l = jnp.pad(u[1:, :], ((0, 1), (0, 0)))
+        lf_l = jnp.pad(u[:, :-1], ((0, 0), (1, 0)))
+        rt_l = jnp.pad(u[:, 1:], ((0, 0), (0, 1)))
+        nb = cc * up_l + dd * dn_l + aa * lf_l + bb * rt_l
+        mask = _local_color_mask(u.shape, parity, ax_x, ax_y)
+        u_new = jnp.where(mask, (rhs - nb) * inv_diag, u)
+
+        # 3) border lines: recompute the full neighbor sum with the received
+        #    halos, in EXACTLY the term order of _sweep_local (cc, dd, aa,
+        #    bb) so the result is bitwise identical to the plain version
+        def line(nb_line, sl_r, sl_c, u_line):
+            return jnp.where(
+                mask[sl_r, sl_c], (rhs[sl_r, sl_c] - nb_line) * inv_diag, u_line
+            )
+
+        r0, rN = slice(0, 1), slice(-1, None)
+        nb_top = (cc[r0, :] * top + dd[r0, :] * u[1:2, :]
+                  + aa[r0, :] * cat([lef[r0, :], u[r0, :-1]], axis=1)
+                  + bb[r0, :] * cat([u[r0, 1:], rig[r0, :]], axis=1))
+        nb_bot = (cc[rN, :] * u[-2:-1, :] + dd[rN, :] * bot
+                  + aa[rN, :] * cat([lef[rN, :], u[rN, :-1]], axis=1)
+                  + bb[rN, :] * cat([u[rN, 1:], rig[rN, :]], axis=1))
+        nb_lef = (cc[:, r0] * cat([top[:, r0], u[:-1, r0]], axis=0)
+                  + dd[:, r0] * cat([u[1:, r0], bot[:, r0]], axis=0)
+                  + aa[:, r0] * lef + bb[:, r0] * u[:, 1:2])
+        nb_rig = (cc[:, rN] * cat([top[:, rN], u[:-1, rN]], axis=0)
+                  + dd[:, rN] * cat([u[1:, rN], bot[:, rN]], axis=0)
+                  + aa[:, rN] * u[:, -2:-1] + bb[:, rN] * rig)
+        u_new = u_new.at[r0, :].set(line(nb_top, r0, slice(None), u[r0, :]))
+        u_new = u_new.at[rN, :].set(line(nb_bot, rN, slice(None), u[rN, :]))
+        u_new = u_new.at[:, r0].set(line(nb_lef, slice(None), r0, u[:, r0]))
+        u_new = u_new.at[:, rN].set(line(nb_rig, slice(None), rN, u[:, rN]))
+        return u_new
+
+    u = color_pass(u, 0)
+    u = color_pass(u, 1)
+    return u
+
+
 def smooth_distributed(
     mesh: Mesh,
     level,
@@ -98,12 +165,19 @@ def smooth_distributed(
     rhs: jnp.ndarray,
     nsweeps: int = 1,
     want_residual: bool = False,
+    overlap: bool = False,
 ):
     """`nsweeps` red–black sweeps (+ optional residual and its psum'd norm)
     with explicit shard_map halo exchange over `mesh`.
 
     Equivalent to the jnp padded smoother under GSPMD sharding
     (tests/test_halo.py asserts bitwise agreement); 5-point levels only.
+
+    `overlap=True` uses the communication/computation-overlapped sweep
+    (`_sweep_local_overlapped`): edge ppermutes issued before the interior
+    update so ICI latency hides behind local compute — same numbers, lower
+    multi-chip latency (the interior patch costs a few extra border-line
+    updates per pass).
     """
     if level.diag is not None or level.ne is not None:
         raise NotImplementedError(
@@ -112,6 +186,7 @@ def smooth_distributed(
         )
     ax_x, ax_y = mesh.axis_names
     spec = P(ax_x, ax_y)
+    sweep = _sweep_local_overlapped if overlap else _sweep_local
 
     @functools.partial(
         jax.shard_map,
@@ -122,10 +197,12 @@ def smooth_distributed(
     def run(aa, bb, cc, dd, u, rhs):
         import dataclasses as _dc
 
+        # v1/v2 are dummies on the block (unused by the 5-point sweeps);
+        # cn_from_v is cleared so no kernel can mistake them for velocities
         blk = _dc.replace(level, aa=aa, bb=bb, cc=cc, dd=dd,
-                          v1=aa, v2=aa, a_inv=None)
+                          v1=aa, v2=aa, a_inv=None, cn_from_v=False)
         for _ in range(nsweeps):
-            u = _sweep_local(blk, u, rhs, ax_x, ax_y)
+            u = sweep(blk, u, rhs, ax_x, ax_y)
         if not want_residual:
             return u
         res = _residual_local(blk, u, rhs, ax_x, ax_y)

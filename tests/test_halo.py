@@ -52,6 +52,21 @@ def test_halo_residual_and_norm_match():
     assert float(got_n) == pytest.approx(float(want_n), rel=1e-14)
 
 
+@pytest.mark.slow
+def test_halo_overlapped_sweep_matches():
+    """The communication/computation-overlapped sweep (ppermutes issued
+    before the interior update, border lines patched after — SURVEY §7.6's
+    overlap requirement) is numerically identical to the plain halo sweep
+    and to the single-device kernels."""
+    level, u, rhs = _setup()
+    mesh = make_mesh()
+    want = u
+    for _ in range(2):
+        want = pops.rb_gauss_seidel(level, want, rhs)
+    got = smooth_distributed(mesh, level, u, rhs, nsweeps=2, overlap=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=0)
+
+
 def test_halo_rejects_9pt():
     import dataclasses
 

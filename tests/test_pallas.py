@@ -79,6 +79,21 @@ def test_fused_preserves_zero_margin():
     assert np.all(gr[17:, :] == 0) and np.all(gr[:, 17:] == 0)
 
 
+def test_from_v_kernel_matches_precomputed_kernel():
+    """The recomputed-coefficient (cn_from_v) kernel variant is bit-identical
+    to the precomputed-field variant in IEEE f64 — the in-kernel expression
+    mirrors _np_cn_coefficients exactly."""
+    import dataclasses
+
+    level, u, rhs = _setup(64, jnp.float64)
+    assert level.cn_from_v
+    got_u, got_r = psm.fused_rb_sweeps(level, u, rhs, 3, want_residual=True)
+    plain = dataclasses.replace(level, cn_from_v=False)
+    want_u, want_r = psm.fused_rb_sweeps(plain, u, rhs, 3, want_residual=True)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
+
+
 def test_pallas_backend_with_galerkin_levels():
     """backend='pallas' + coarse_operator='galerkin': the fused kernel only
     understands 5-point scalar-diagonal operators, so Galerkin coarse levels
