@@ -63,7 +63,7 @@ def main():
         ),
     )
     run_once(model)  # compile + warm up
-    reps = 3
+    reps = 5
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
