@@ -8,15 +8,17 @@ better).
 
 Flagship configuration (the TPU-native fast path):
   * padded (8,128)-tile layout (core/layout.py)
-  * f32 V-cycle compute + f64 iterative refinement (mg/refine.py) — certifies
-    the reference's double-precision tol=1e-6 contract
-  * cross-step fused stepper (timestepper_refined_fused): one emulated-f64
-    fine-grid stencil pass per step serves the CN opening AND the previous
-    step's certificate
-  * fused Pallas red–black smoother (backend="auto" resolves to it on TPU —
-    measured winner at every size, RESULTS.md)
+  * delta-form stepping (mg/delta.py): the CN step increment A·δ = dt·L·u
+    is computed and solved entirely in f32 (cancellation-free difference-
+    form rhs), the state lives as an f32 (hi, lo) pair accumulated by
+    error-free TwoSum — zero emulated-f64 stencil work per step, with both
+    per-step f32 certificates and a rigorous f64 certificate of the final
+    step in stats
+  * fused Pallas red–black smoother with in-kernel coefficient recompute
+    (backend="auto" resolves to it on TPU — measured winner at every size,
+    RESULTS.md)
   * fixed cycle count (scan-only program, no data-dependent while loops —
-    the axon compiler pathology) with the residual certificate in stats
+    the axon compiler pathology)
   * dense MXU coarse solve (precomputed inverse — the solve the reference
     abandoned in exact_solve.cpp)
 
@@ -40,7 +42,10 @@ REFERENCE_TOL = 1e-6     # multigrid.cpp:240
 
 
 def run_once(model):
-    uT, stats = model.run()
+    # warn=False: the convergence-warning check fetches per-step stats —
+    # multiple tunnel round-trips (~25 ms each) that would be timed;
+    # convergence is asserted from stats after the timing loop instead.
+    uT, stats = model.run(warn=False)
     # block_until_ready() is a no-op on the axon platform — force a host
     # transfer of one element to synchronize with device completion.
     np.asarray(jnp.ravel(uT)[-2])
@@ -60,6 +65,7 @@ def main():
             cycle_mode="fixed",
             num_cycles=1,
             coarse_mode="dense",
+            delta_form=True,
         ),
     )
     run_once(model)  # compile + warm up
@@ -79,10 +85,13 @@ def main():
         "vs_baseline": round(BASELINE_N1024_S / secs, 2),
         "detail": {
             "device": str(jax.devices()[0]),
-            "config": "f32 cycles + f64 refinement, fused stepper, pallas "
+            "config": "delta-form f32 steps + f32-pair state, pallas from_v "
                       "smoother (auto), fixed 1 cycle/step, dense coarse",
             "center_uT": center,
             "max_rel_residual": max_rel,
+            "final_rel_residual_f64": float(
+                np.asarray(stats["final_rel_residual_hi"])
+            ),
             "meets_reference_tol_1e-6": max_rel <= REFERENCE_TOL,
             "baseline": "strong_scale.txt:8 (8-thread OMP, 6.57 s)",
         },

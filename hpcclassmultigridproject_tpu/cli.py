@@ -27,6 +27,10 @@ def _solver_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
     p.add_argument("--refine", action="store_true",
                    help="mixed-precision refinement (f64 residuals, f32 cycles)")
+    p.add_argument("--delta", action="store_true",
+                   help="delta-form stepping (f32 increment solve + f32-pair "
+                        "state, mg/delta.py); implies --refine, needs "
+                        "--cycle-mode fixed")
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--cycle-shape", type=int, default=1, help="1=V, 2=W")
     p.add_argument("--niter", type=int, default=3, help="pre/post smoothing sweeps")
@@ -57,8 +61,9 @@ def _build_model(args):
     from hpcclassmultigridproject_tpu.models import AdvectionDiffusion
 
     dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
-    refine = jnp.float64 if args.refine else None
-    if args.dtype == "f64" or args.refine:
+    delta = getattr(args, "delta", False)
+    refine = jnp.float64 if (args.refine or delta) else None
+    if args.dtype == "f64" or refine is not None:
         jax.config.update("jax_enable_x64", True)
     problem = ProblemConfig(n=args.n, nu=args.nu, num_steps=args.steps)
     solver = SolverConfig(
@@ -78,6 +83,7 @@ def _build_model(args):
         dtype=dtype,
         refine_dtype=refine,
         backend=args.backend,
+        delta_form=delta,
     )
     return AdvectionDiffusion(problem, solver)
 

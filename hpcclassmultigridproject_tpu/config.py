@@ -86,6 +86,11 @@ class SolverConfig:
                                       # A e = r in `dtype` — reference-accuracy (1e-6)
                                       # convergence certificates with f32 compute for
                                       # all the heavy smoothing work
+    delta_form: bool = False          # delta (incremental) CN stepping (mg/delta.py):
+                                      # solve A·δ = dt·L·u in `dtype` (f32) and
+                                      # accumulate u += δ in `refine_dtype` — zero
+                                      # high-precision stencil work per step; requires
+                                      # refine_dtype set and cycle_mode="fixed"
 
     def __post_init__(self):
         _check = {
@@ -100,6 +105,13 @@ class SolverConfig:
             val = getattr(self, field)
             if val not in allowed:
                 raise ValueError(f"{field}={val!r} not in {allowed}")
+        if self.delta_form and (
+            self.refine_dtype is None or self.cycle_mode != "fixed"
+        ):
+            raise ValueError(
+                "delta_form requires refine_dtype set and cycle_mode='fixed' "
+                "(the f64 state accumulator and a static cycle count)"
+            )
 
     def resolved_num_levels(self, n: int) -> int:
         if self.num_levels is not None:

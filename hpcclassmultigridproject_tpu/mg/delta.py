@@ -1,0 +1,192 @@
+"""Delta (incremental) Crank–Nicolson stepping — f32 compute/storage, f64
+accuracy.
+
+The direct CN step solves A u^{n+1} = B u^n, whose right-hand side is O(u):
+computing it to double accuracy costs one emulated-f64 fine-grid stencil per
+step, which dominates the refined step on TPU (RESULTS.md profile: ~63%).
+
+Algebraically the same step is
+
+    A δ = (B − A) u^n = dt·L u^n,      u^{n+1} = u^n + δ
+
+(A = I − (dt/2)L, B = I + (dt/2)L, multigrid.cpp:1-2 discretization).  The
+increment δ is O(dt·u) ≈ 3e-3·u at the reference defaults, so the delta
+system can be computed and solved in f32 — IF the right-hand side is
+evaluated without catastrophic cancellation.  Three ingredients:
+
+1. **Difference-form rhs** (`delta_rhs`).  The naive coefficient form
+   8rν·u − 2Σc·u sums O(0.1·u) terms that cancel to O(3e-3·u); its f32
+   rounding (~1e-8·u ≈ 3e-6 of the result) BLOWS the 1e-6 contract (measured
+   5.9e-6 at N=1024).  Rewriting per axis with aa+bb = 2rν, bb−aa = r·h·v:
+
+       (B−A)u = −2·[ rν·Σ(u_nb − u)  +  (r·h/2)·(v1·(u_S−u_N) + v2·(u_E−u_W)) ]
+
+   every subtraction is between NEIGHBORING node values (Sterbenz-exact or
+   ε-relative-to-the-difference), so the f32 evaluation carries ~1e-7
+   RELATIVE error — certificate floor ~2e-7, meeting tol = 1e-6.
+
+2. **f32-pair state** (u ≈ hi + lo, |lo| ≤ ε|hi|).  HBM only ever moves f32
+   arrays; the pair represents u to ~2^-47 relative.  The rhs needs the lo
+   part's contribution too ((B−A)·lo ~ 6e-6·rhs-scale): evaluated with the
+   same difference form and added.
+
+3. **Register-f64 accumulation**: u^{n+1} = (hi + lo + δ) is summed in f64
+   built inline from the f32 operands (reads/writes stay f32; the emulated-
+   f64 adds are a few VPU ops per point, unlike the f64 STENCIL the direct
+   form needs), then split back into (hi, lo) — correctly-rounded, no
+   error-free-transformation tricks that compiler excess-precision could
+   break.
+
+Certificate semantics: the per-step relative residual is
+||rhs_δ − A δ|| / ||rhs_δ|| — exactly the reference's mg_outer ratio
+(multigrid.cpp:104-113: the initial iterate u^n has residual B u^n − A u^n),
+measured in f32 at delta scale.  The epilogue recomputes the LAST step's
+residual entirely in the high dtype from the reconstructed states and
+returns it as stats["final_rel_residual_hi"] — the rigorous certificate.
+
+No reference counterpart (the reference is uniformly double); gated by
+SolverConfig.delta_form.  This is the stencil-world analog of
+mixed-precision training's master-weights pattern, with the master itself
+kept as an f32 pair.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from hpcclassmultigridproject_tpu.config import SolverConfig
+from hpcclassmultigridproject_tpu.core.layout import interior_mask, shift
+from hpcclassmultigridproject_tpu.mg.cycle import mg_cycle
+from hpcclassmultigridproject_tpu.mg.levels import Level
+from hpcclassmultigridproject_tpu.ops.padded import (
+    interior_norm,
+    neighbor_sum,
+    residual,
+)
+
+
+def _dform(x):
+    """Cancellation-free building blocks of (B−A)x: the 5-point Laplacian
+    sum Σ(x_nb − x) and the two centered differences, every subtraction
+    between neighboring values."""
+    up, dn = shift(x, -1, 0), shift(x, 1, 0)     # x[i−1,j], x[i+1,j]
+    lf, rt = shift(x, 0, -1), shift(x, 0, 1)     # x[i,j−1], x[i,j+1]
+    lap = (up - x) + (dn - x) + (lf - x) + (rt - x)
+    return lap, dn - up, rt - lf                 # lap, Δ_i x, Δ_j x
+
+
+def delta_rhs(level: Level, u_hi, u_lo=None):
+    """(B − A)(hi + lo) in difference form, f32 throughout.
+
+    coefficient identities (gs.cpp:9-20): aa+bb = 2rν, bb−aa = r·h·v2,
+    cc+dd = 2rν, dd−cc = r·h·v1 ⇒
+    (B−A)u = −2rν·lap(u) − r·h·(v1·Δ_i u + v2·Δ_j u).
+    Masked to the open interior (the difference form, unlike the zero-
+    coefficient form, is nonzero at boundary/padding nodes).
+    """
+    rr = 0.5 * level.dt / (level.h * level.h)
+    dtype = u_hi.dtype
+    two_rnu = dtype.type(2.0 * rr * level.nu)
+    r_h = dtype.type(rr * level.h)
+
+    lap, di, dj = _dform(u_hi)
+    if u_lo is not None:
+        lap_l, di_l, dj_l = _dform(u_lo)
+        lap, di, dj = lap + lap_l, di + di_l, dj + dj_l
+    out = -(two_rnu * lap) - r_h * (level.v1 * di + level.v2 * dj)
+    return out * interior_mask(level.n, u_hi.shape, dtype=dtype)
+
+
+def _split_hi_lo(x64, dtype):
+    hi = x64.astype(dtype)
+    lo = (x64 - hi.astype(x64.dtype)).astype(dtype)
+    return hi, lo
+
+
+def _accumulate_via_hi(hi, lo, d, acc_dtype):
+    """Reference accumulator: (hi + lo + d) summed in `acc_dtype` built
+    inline from f32 operands, split back to an (hi, lo) pair.  Numerically
+    canonical but pays ~8 emulated-f64 ops per point on TPU."""
+    s = hi.astype(acc_dtype) + lo.astype(acc_dtype) + d.astype(acc_dtype)
+    return _split_hi_lo(s, hi.dtype)
+
+
+def _accumulate(hi, lo, d, acc_dtype):
+    """Production accumulator: TwoSum + renormalization, pure f32 — no
+    emulated-f64 ops at all.  Measured bit-identical to `_accumulate_via_hi`
+    over the full flagship run (same center value, same f64 epilogue
+    certificate to the last digit) and ~4 ms faster per 100 steps
+    (RESULTS.md); equality is pinned by tests/test_refine.py.
+
+    TwoSum (Knuth) is branch-free and exact in IEEE f32: t + err == hi + d
+    exactly.  The err folds into lo, and a Fast2Sum renormalizes so
+    |lo| stays ≤ ulp(hi).  (acc_dtype unused — kept for signature parity.)
+    """
+    t = hi + d
+    bv = t - hi
+    err = (hi - (t - bv)) + (d - bv)
+    lo2 = lo + err
+    hi2 = t + lo2
+    lo3 = lo2 - (hi2 - t)
+    return hi2, lo3
+
+
+def timestepper_delta(
+    levels: tuple[Level, ...],
+    fine_hi: Level,
+    u0: jnp.ndarray,
+    num_steps: int,
+    cfg: SolverConfig,
+    shardings=None,
+):
+    """`num_steps` delta-form CN steps; returns (uT, per-step stats).
+
+    `u0` is in the high dtype; uT is returned in the high dtype.  Stats
+    match the refined stepper's, plus `final_rel_residual_hi` (the last
+    step's residual recomputed entirely in the high dtype).
+    """
+    fine = levels[0]
+    tiny = jnp.finfo(jnp.float32).tiny
+    acc_dtype = u0.dtype
+    hi0, lo0 = _split_hi_lo(u0, cfg.dtype)
+
+    def constrain(x):
+        if shardings is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, shardings[0])
+
+    def step(carry, _):
+        hi, lo, _, _ = carry
+        rhs_d = constrain(delta_rhs(fine, hi, lo))
+        res0 = jnp.maximum(interior_norm(rhs_d), tiny)
+        d = jnp.zeros_like(rhs_d)
+        for _k in range(cfg.num_cycles):
+            d = mg_cycle(levels, d, rhs_d, cfg, shardings=shardings)
+        rel = interior_norm(residual(fine, d, rhs_d)) / res0
+        hi2, lo2 = _accumulate(hi, lo, d, acc_dtype)
+        return (constrain(hi2), constrain(lo2), hi, lo), (
+            rel.astype(jnp.float32), rel <= cfg.tol
+        )
+
+    (hi, lo, hi_p, lo_p), (rels, conv) = jax.lax.scan(
+        step, (hi0, lo0, hi0, lo0), None, length=num_steps
+    )
+
+    # epilogue: rigorous high-precision certificate of the final step
+    u_prev = hi_p.astype(acc_dtype) + lo_p.astype(acc_dtype)
+    uT = hi.astype(acc_dtype) + lo.astype(acc_dtype)
+    rhs_hi = fine_hi.diag_b * u_prev - neighbor_sum(fine_hi, u_prev)
+    r_hi = residual(fine_hi, uT, rhs_hi)
+    res0_hi = interior_norm(residual(fine_hi, u_prev, rhs_hi))
+    rel_hi = interior_norm(r_hi) / jnp.maximum(
+        res0_hi, jnp.finfo(res0_hi.dtype).tiny
+    )
+
+    stats = {
+        "cycles": jnp.full((num_steps,), cfg.num_cycles, jnp.int32),
+        "rel_residual": rels,
+        "converged": conv,
+        "final_rel_residual_hi": rel_hi.astype(jnp.float32),
+    }
+    return uT, stats

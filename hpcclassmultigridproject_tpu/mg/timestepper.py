@@ -36,8 +36,21 @@ def timestep(
     """One CN step: compute_rhs (multigrid.cpp:167) + mg_outer (:169).
 
     With `fine_hi` (the finest operator in `cfg.refine_dtype`), the rhs and
-    the solve run under mixed-precision iterative refinement (mg/refine.py).
+    the solve run under mixed-precision iterative refinement (mg/refine.py);
+    with cfg.delta_form, one step of the delta stepper (mg/delta.py).
     """
+    if fine_hi is not None and cfg.delta_form:
+        import jax as _jax
+
+        from hpcclassmultigridproject_tpu.mg.delta import timestepper_delta
+
+        u_next, stats = timestepper_delta(
+            levels, fine_hi, u, 1, cfg, shardings=shardings
+        )
+        return u_next, _jax.tree.map(
+            lambda x: x[0] if getattr(x, "ndim", 0) >= 1 and x.shape[0] == 1 else x,
+            stats,
+        )
     if fine_hi is not None:
         # precomputed coefficients on purpose: the from_v opening measured
         # slower in emulated f64 (RESULTS.md "negative results")
@@ -68,7 +81,17 @@ def timestepper(
     closing certificate residual and the step-(t+1) CN opening share one
     high-precision fine-grid stencil pass, halving the emulated-f64 work
     that dominates the refined step.  Identical stats semantics (asserted
-    against the per-step path by tests/test_refine.py)."""
+    against the per-step path by tests/test_refine.py).
+
+    With cfg.delta_form, the delta (incremental) stepper (mg/delta.py)
+    replaces it: the step increment is solved entirely in cfg.dtype and
+    only the state accumulation runs in refine_dtype."""
+    if fine_hi is not None and cfg.delta_form:
+        from hpcclassmultigridproject_tpu.mg.delta import timestepper_delta
+
+        return timestepper_delta(
+            levels, fine_hi, u0, num_steps, cfg, shardings=shardings
+        )
     if fine_hi is not None and cfg.cycle_mode == "fixed":
         from hpcclassmultigridproject_tpu.mg.refine import timestepper_refined_fused
 

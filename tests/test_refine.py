@@ -226,3 +226,76 @@ def test_fmg_with_refinement():
     )
     uT_fx, _ = m_fx.run()
     np.testing.assert_allclose(np.asarray(uT), np.asarray(uT_fx), atol=1e-9)
+
+
+def test_delta_form_matches_f64_solution():
+    """Delta (incremental) stepping (mg/delta.py): f32 increment solve +
+    f64 state accumulation tracks the pure-f64 run to increment-rounding
+    accuracy, and both the per-step f32 certificate and the epilogue's
+    rigorous f64 certificate meet the reference tolerance."""
+    p = ProblemConfig(n=64)
+    m64 = AdvectionDiffusion(p, SolverConfig(dtype=jnp.float64))
+    mdl = AdvectionDiffusion(
+        p,
+        SolverConfig(dtype=jnp.float32, refine_dtype=jnp.float64, tol=1e-6,
+                     cycle_mode="fixed", num_cycles=1, coarse_mode="dense",
+                     delta_form=True),
+    )
+    uT64, _ = m64.run()
+    uTd, stats = mdl.run()
+    assert uTd.dtype == jnp.float64
+    np.testing.assert_allclose(np.asarray(uTd), np.asarray(uT64), atol=5e-7)
+    assert np.asarray(uTd)[32, 32] == pytest.approx(CENTER[64], abs=1e-7)
+    assert bool(np.asarray(stats["converged"]).all())
+    assert float(np.asarray(stats["rel_residual"]).max()) <= 1e-6
+    assert float(stats["final_rel_residual_hi"]) <= 1e-6
+
+
+def test_delta_form_requires_fixed_and_refine():
+    with pytest.raises(ValueError):
+        SolverConfig(delta_form=True)
+    with pytest.raises(ValueError):
+        SolverConfig(delta_form=True, refine_dtype=jnp.float64,
+                     cycle_mode="adaptive")
+
+
+def test_delta_form_distributed_matches_single():
+    """Delta-form stepping under the 8-device mesh (block-sharded f32-pair
+    state) matches the single-device delta run."""
+    from hpcclassmultigridproject_tpu.parallel import distributed_run, make_mesh
+
+    p = ProblemConfig(n=64, num_steps=5)
+    cfg = SolverConfig(dtype=jnp.float32, refine_dtype=jnp.float64, tol=1e-6,
+                       cycle_mode="fixed", num_cycles=1, coarse_mode="dense",
+                       delta_form=True)
+    m = AdvectionDiffusion(p, cfg)
+    uT_single, s1 = m.run()
+    uT_dist, s2 = distributed_run(m, make_mesh(), min_local=8)
+    np.testing.assert_allclose(
+        np.asarray(uT_dist), np.asarray(uT_single), atol=1e-10
+    )
+    assert float(s2["final_rel_residual_hi"]) <= 1e-6
+
+
+def test_delta_accumulators_agree():
+    """The pure-f32 TwoSum accumulator (production) matches the register-f64
+    reference accumulator bitwise on representative data — proves IEEE f32
+    exactness of the error-free transformation survives compilation."""
+    from hpcclassmultigridproject_tpu.mg.delta import (
+        _accumulate,
+        _accumulate_via_hi,
+        _split_hi_lo,
+    )
+
+    rng = np.random.default_rng(7)
+    x64 = jnp.asarray(rng.standard_normal((64, 128)))
+    hi, lo = _split_hi_lo(x64, jnp.float32)
+    d = jnp.asarray(rng.standard_normal((64, 128)) * 1e-3, jnp.float32)
+    h1, l1 = _accumulate(hi, lo, d, jnp.float64)
+    h2, l2 = _accumulate_via_hi(hi, lo, d, jnp.float64)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    # the lo parts may differ by <= 1 ulp of lo when the 3-term sum rounds
+    # differently; the represented VALUE must agree to f64 rounding
+    v1 = np.asarray(h1, np.float64) + np.asarray(l1, np.float64)
+    v2 = np.asarray(h2, np.float64) + np.asarray(l2, np.float64)
+    np.testing.assert_allclose(v1, v2, rtol=0, atol=1e-12)
