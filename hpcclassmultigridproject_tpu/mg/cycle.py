@@ -157,6 +157,7 @@ def mg_cycle(
     cfg: SolverConfig,
     lvl: int = 0,
     shardings=None,
+    want_final_residual: bool = False,
 ):
     """One V- or W-cycle starting at `lvl` (multigrid.cpp:17-92).
 
@@ -167,6 +168,11 @@ def mg_cycle(
     `shardings` (optional, one per level) places sharding constraints at the
     level transitions — the restrict/prolong boundaries are where GSPMD
     reshards, implementing coarse-level agglomeration (parallel/sharding.py).
+
+    `want_final_residual` (top level only): also return rhs − A·u of the
+    returned iterate, fused into the last post-smooth block (free second
+    output of the Pallas kernel vs a separate full stencil pass) — returns
+    (u, res) instead of u.
     """
     level = levels[lvl]
     smoother = _get_smoother(cfg)
@@ -175,22 +181,30 @@ def mg_cycle(
     # a level is "sharded" when its spec actually partitions (replicated
     # P() levels run the whole grid per chip and may use the Pallas path)
     sharded = shard is not None and len(shard.spec) > 0
+    res = None
 
-    for _ in range(cfg.cycle_shape):
+    for sh in range(cfg.cycle_shape):
+        last_pass = sh == cfg.cycle_shape - 1
         if lvl == len(levels) - 1:
             if cfg.coarse_mode == "dense" and level.a_inv is not None:
                 u = coarse_solve_dense(level, u, rhs)
             else:
                 u = coarse_solve_gs(level, u, rhs, cfg, smoother)
+            if want_final_residual and last_pass:
+                res = residual(level, u, rhs)
         else:
-            u, res = _smooth_block(cfg, level, u, rhs, cfg.niter, True,
-                                   sharded=sharded)
-            rhs_c = _constrain(_restrict(cfg, res, levels[lvl + 1]), shard_c)
+            u, r0 = _smooth_block(cfg, level, u, rhs, cfg.niter, True,
+                                  sharded=sharded)
+            rhs_c = _constrain(_restrict(cfg, r0, levels[lvl + 1]), shard_c)
             u_c = jnp.zeros_like(rhs_c)
             u_c = mg_cycle(levels, u_c, rhs_c, cfg, lvl + 1, shardings)
             u = u + _constrain(prolong_bilinear(u_c, level.padded), shard)
-            u, _ = _smooth_block(cfg, level, u, rhs, cfg.niter, False,
-                                 sharded=sharded)
+            u, res = _smooth_block(
+                cfg, level, u, rhs, cfg.niter,
+                want_final_residual and last_pass, sharded=sharded,
+            )
+    if want_final_residual:
+        return u, res
     return u
 
 

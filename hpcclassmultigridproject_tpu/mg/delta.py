@@ -156,22 +156,37 @@ def timestepper_delta(
             return x
         return jax.lax.with_sharding_constraint(x, shardings[0])
 
-    def step(carry, _):
-        hi, lo, _, _ = carry
+    def one_step(hi, lo):
         rhs_d = constrain(delta_rhs(fine, hi, lo))
         res0 = jnp.maximum(interior_norm(rhs_d), tiny)
         d = jnp.zeros_like(rhs_d)
-        for _k in range(cfg.num_cycles):
-            d = mg_cycle(levels, d, rhs_d, cfg, shardings=shardings)
-        rel = interior_norm(residual(fine, d, rhs_d)) / res0
+        for k in range(cfg.num_cycles):
+            # the last cycle's post-smooth also emits the certificate
+            # residual (fused second output of the Pallas kernel — no
+            # separate full stencil pass)
+            if k == cfg.num_cycles - 1:
+                d, r = mg_cycle(levels, d, rhs_d, cfg, shardings=shardings,
+                                want_final_residual=True)
+            else:
+                d = mg_cycle(levels, d, rhs_d, cfg, shardings=shardings)
+        rel = interior_norm(r) / res0
         hi2, lo2 = _accumulate(hi, lo, d, acc_dtype)
-        return (constrain(hi2), constrain(lo2), hi, lo), (
-            rel.astype(jnp.float32), rel <= cfg.tol
-        )
+        return constrain(hi2), constrain(lo2), rel
 
-    (hi, lo, hi_p, lo_p), (rels, conv) = jax.lax.scan(
-        step, (hi0, lo0, hi0, lo0), None, length=num_steps
+    def step(carry, _):
+        hi, lo = carry
+        hi2, lo2, rel = one_step(hi, lo)
+        return (hi2, lo2), (rel.astype(jnp.float32), rel <= cfg.tol)
+
+    # num_steps−1 steps under the scan; the final step runs in the epilogue
+    # so u^{T-1} is available for the rigorous high-precision certificate
+    # without carrying a second state pair through the scan
+    (hi_p, lo_p), (rels, conv) = jax.lax.scan(
+        step, (hi0, lo0), None, length=num_steps - 1
     )
+    hi, lo, rel_last = one_step(hi_p, lo_p)
+    rels = jnp.concatenate([rels, rel_last.astype(jnp.float32)[None]])
+    conv = jnp.concatenate([conv, (rel_last <= cfg.tol)[None]])
 
     # epilogue: rigorous high-precision certificate of the final step
     u_prev = hi_p.astype(acc_dtype) + lo_p.astype(acc_dtype)
