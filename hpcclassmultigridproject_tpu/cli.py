@@ -178,7 +178,11 @@ def cmd_scaling(args) -> int:
     devices = jax.devices()
     limit = min(args.max_devices, len(devices))
     base_t = None
-    if args.mode == "weak":
+    if jax.process_count() > 1:
+        # multi-process SPMD: every process must participate in every
+        # program, so only the full global mesh is a valid sweep point
+        counts = [len(devices)]
+    elif args.mode == "weak":
         counts = [c for c in (1, 4, 16, 64) if c <= limit]
     else:
         counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= limit]

@@ -299,3 +299,18 @@ def test_delta_accumulators_agree():
     v1 = np.asarray(h1, np.float64) + np.asarray(l1, np.float64)
     v2 = np.asarray(h2, np.float64) + np.asarray(l2, np.float64)
     np.testing.assert_allclose(v1, v2, rtol=0, atol=1e-12)
+
+
+def test_delta_form_wcycle():
+    """delta_form composes with W-cycles (the fused certificate residual is
+    emitted only on the final shape pass)."""
+    p = ProblemConfig(n=64, num_steps=5)
+    m = AdvectionDiffusion(
+        p,
+        SolverConfig(dtype=jnp.float32, refine_dtype=jnp.float64, tol=1e-6,
+                     cycle_mode="fixed", num_cycles=1, coarse_mode="dense",
+                     cycle_shape=2, delta_form=True),
+    )
+    uT, stats = m.run()
+    assert bool(np.asarray(stats["converged"]).all())
+    assert float(stats["final_rel_residual_hi"]) <= 1e-6

@@ -119,3 +119,13 @@ def test_cli_solver_constant_flags(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["converged"]
+
+
+def test_cli_delta(capsys):
+    """--delta runs the delta-form stepper from the CLI."""
+    rc = main(["run", "--n", "64", "--steps", "3", "--delta",
+               "--cycle-mode", "fixed", "--num-cycles", "1",
+               "--coarse", "dense"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["converged"]
