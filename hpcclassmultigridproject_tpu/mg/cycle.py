@@ -79,7 +79,8 @@ def _pallas_eligible(cfg: SolverConfig, level: Level, sharded: bool) -> bool:
 
 
 def _smooth_block(cfg: SolverConfig, level: Level, u, rhs, nsweeps: int,
-                  want_residual: bool, sharded: bool = False):
+                  want_residual: bool, sharded: bool = False,
+                  u_is_zero: bool = False):
     """`nsweeps` smoother sweeps, optionally fused with the trailing residual.
 
     backend "pallas" routes red–black GS through the fused Pallas kernel
@@ -97,7 +98,10 @@ def _smooth_block(cfg: SolverConfig, level: Level, u, rhs, nsweeps: int,
     if _pallas_eligible(cfg, level, sharded):
         from hpcclassmultigridproject_tpu.ops.pallas.smoother import fused_rb_sweeps
 
-        return fused_rb_sweeps(level, u, rhs, nsweeps, want_residual)
+        # u_is_zero: skip materializing+reading the zeros iterate (every
+        # correction solve and delta opening starts from zero)
+        return fused_rb_sweeps(level, u, rhs, nsweeps, want_residual,
+                               zero_init=u_is_zero)
     smoother = _get_smoother(cfg)
     for _ in range(nsweeps):
         u = smoother(level, u, rhs)
@@ -158,6 +162,7 @@ def mg_cycle(
     lvl: int = 0,
     shardings=None,
     want_final_residual: bool = False,
+    u_is_zero: bool = False,
 ):
     """One V- or W-cycle starting at `lvl` (multigrid.cpp:17-92).
 
@@ -194,10 +199,12 @@ def mg_cycle(
                 res = residual(level, u, rhs)
         else:
             u, r0 = _smooth_block(cfg, level, u, rhs, cfg.niter, True,
-                                  sharded=sharded)
+                                  sharded=sharded,
+                                  u_is_zero=u_is_zero and sh == 0)
             rhs_c = _constrain(_restrict(cfg, r0, levels[lvl + 1]), shard_c)
             u_c = jnp.zeros_like(rhs_c)
-            u_c = mg_cycle(levels, u_c, rhs_c, cfg, lvl + 1, shardings)
+            u_c = mg_cycle(levels, u_c, rhs_c, cfg, lvl + 1, shardings,
+                           u_is_zero=True)
             u = u + _constrain(prolong_bilinear(u_c, level.padded), shard)
             u, res = _smooth_block(
                 cfg, level, u, rhs, cfg.niter,

@@ -163,12 +163,14 @@ def timestepper_delta(
         for k in range(cfg.num_cycles):
             # the last cycle's post-smooth also emits the certificate
             # residual (fused second output of the Pallas kernel — no
-            # separate full stencil pass)
+            # separate full stencil pass); the first cycle's pre-smooth
+            # skips reading the zero iterate
             if k == cfg.num_cycles - 1:
                 d, r = mg_cycle(levels, d, rhs_d, cfg, shardings=shardings,
-                                want_final_residual=True)
+                                want_final_residual=True, u_is_zero=k == 0)
             else:
-                d = mg_cycle(levels, d, rhs_d, cfg, shardings=shardings)
+                d = mg_cycle(levels, d, rhs_d, cfg, shardings=shardings,
+                             u_is_zero=k == 0)
         rel = interior_norm(r) / res0
         hi2, lo2 = _accumulate(hi, lo, d, acc_dtype)
         return constrain(hi2), constrain(lo2), rel

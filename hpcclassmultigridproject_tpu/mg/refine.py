@@ -49,7 +49,7 @@ def _hi_residual(fine_hi, u, rhs):
 def _correction(levels, r_lo, cfg, shardings):
     """Solve A e = r approximately with one cycle tower pass in low precision."""
     e = jnp.zeros_like(r_lo)
-    return mg_cycle(levels, e, r_lo, cfg, shardings=shardings)
+    return mg_cycle(levels, e, r_lo, cfg, shardings=shardings, u_is_zero=True)
 
 
 def refined_solve(

@@ -61,12 +61,17 @@ def _pick_band(rows: int, cols: int, itemsize: int, h: int) -> int:
     return bh
 
 
-def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, *refs):
+def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
+            *refs):
     # refs: with cn=None, (u, rhs, aa, bb, cc, dd) windows of shape
     # (bh+2h, cols); with cn=(rr, half_h, nu, n), (u, rhs, v1, v2) windows
     # and the CN coefficients are recomputed in-kernel (the reference's own
     # per-point strategy, gs.cpp:126-129 — on TPU it trades 2 HBM array
-    # reads for a handful of free VPU flops).  Then outputs.
+    # reads for a handful of free VPU flops).  With zero_init, the u window
+    # is absent entirely (the sweep cascade starts from u = 0 — the coarse-
+    # level correction solves and the delta opening all start from zero, so
+    # skipping the read saves materializing + loading a zeros array).
+    # Then outputs.
     i = pl.program_id(0)
     first = i == 0
     last = i == pl.num_programs(0) - 1
@@ -85,10 +90,14 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, *refs):
     # cannot lower (f64 convert recursion), so zeros are dtype-exact.
     dtype = refs[0].dtype
     zero = dtype.type(0)
+    n_in = (6 if cn is None else 4) - (1 if zero_init else 0)
+    fields = [jnp.where(exists, r[:], zero) for r in refs[:n_in]]
+    if zero_init:
+        fields = [jnp.zeros_like(fields[0])] + fields
     if cn is None:
-        u, rhs, aa, bb, cc, dd = (jnp.where(exists, r[:], zero) for r in refs[:6])
+        u, rhs, aa, bb, cc, dd = fields
     else:
-        u, rhs, v1, v2 = (jnp.where(exists, r[:], zero) for r in refs[:4])
+        u, rhs, v1, v2 = fields
         rr_c, hh_c, nu_c, n_c = cn
         rr = dtype.type(rr_c)
         hh = dtype.type(hh_c)
@@ -132,7 +141,6 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, *refs):
     # h otherwise — two static slices under pl.when (Mosaic has no value
     # dynamic_slice)
     res = rhs - diag_a * u - nb(u) if want_residual else None
-    n_in = 6 if cn is None else 4
 
     @pl.when(first)
     def _():
@@ -148,15 +156,17 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, *refs):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nsweeps", "diag_a", "want_residual", "cn")
+    jax.jit,
+    static_argnames=("nsweeps", "diag_a", "want_residual", "cn", "zero_init"),
 )
-def _fused(u, rhs, *fields, nsweeps, diag_a, want_residual, cn=None):
-    # fields: (aa, bb, cc, dd) precomputed, or (v1, v2) with cn set
-    rows, cols = u.shape
+def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False):
+    # arrays: (u, rhs, fields...) — or (rhs, fields...) with zero_init —
+    # where fields = (aa, bb, cc, dd) precomputed or (v1, v2) with cn set
+    rows, cols = arrays[0].shape
     h = _halo(nsweeps)
-    bh = _pick_band(rows, cols, u.dtype.itemsize, h)
+    bh = _pick_band(rows, cols, arrays[0].dtype.itemsize, h)
     grid = pl.cdiv(rows, bh)
-    n_in = 2 + len(fields)
+    n_in = len(arrays)
 
     # overlapping element-offset windows: rows [max(i*bh-h, 0), +bh+2h)
     # index-map returns pinned to i32: under jax_enable_x64 a bare Python 0
@@ -174,24 +184,25 @@ def _fused(u, rhs, *fields, nsweeps, diag_a, want_residual, cn=None):
     out_spec = pl.BlockSpec(
         (bh, cols), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
     )
-    out_shape = jax.ShapeDtypeStruct(u.shape, u.dtype)
+    out_shape = jax.ShapeDtypeStruct(arrays[0].shape, arrays[0].dtype)
     if want_residual:
-        out_shape = (out_shape, jax.ShapeDtypeStruct(u.shape, u.dtype))
+        out_shape = (out_shape, jax.ShapeDtypeStruct(arrays[0].shape, arrays[0].dtype))
         out_spec = (out_spec, out_spec)
 
     return pl.pallas_call(
         functools.partial(
-            _kernel, nsweeps, bh, h, rows, diag_a, want_residual, cn
+            _kernel, nsweeps, bh, h, rows, diag_a, want_residual, cn, zero_init
         ),
         grid=(grid,),
         in_specs=[in_spec] * n_in,
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=INTERPRET,
-    )(u, rhs, *fields)
+    )(*arrays)
 
 
-def fused_rb_sweeps(level, u, rhs, nsweeps: int, want_residual: bool = False):
+def fused_rb_sweeps(level, u, rhs, nsweeps: int, want_residual: bool = False,
+                    zero_init: bool = False):
     """`nsweeps` red–black GS sweeps (+ optional trailing residual) in one
     fused HBM pass.  Drop-in replacement for `nsweeps` calls of
     ops/padded.py::rb_gauss_seidel (+ one residual); see tests/test_pallas.py
@@ -200,7 +211,11 @@ def fused_rb_sweeps(level, u, rhs, nsweeps: int, want_residual: bool = False):
     CN levels built from velocity fields (level.cn_from_v) use the
     recomputed-coefficient kernel: the band windows read (u, rhs, v1, v2)
     instead of (u, rhs, aa, bb, cc, dd) — 25-30% less HBM traffic for the
-    bandwidth-bound smoother, with the coefficient flops free on the VPU."""
+    bandwidth-bound smoother, with the coefficient flops free on the VPU.
+
+    `zero_init=True` declares u == 0 (correction solves, delta openings):
+    the u window is dropped from the kernel inputs entirely, and `u` may be
+    passed as None."""
     if getattr(level, "cn_from_v", False):
         cn = (
             0.5 * level.dt / (level.h * level.h),
@@ -208,14 +223,13 @@ def fused_rb_sweeps(level, u, rhs, nsweeps: int, want_residual: bool = False):
             level.nu,
             level.n,
         )
-        out = _fused(
-            u, rhs, level.v1, level.v2,
-            nsweeps=nsweeps, diag_a=level.diag_a,
-            want_residual=want_residual, cn=cn,
-        )
+        fields = (level.v1, level.v2)
     else:
-        out = _fused(
-            u, rhs, level.aa, level.bb, level.cc, level.dd,
-            nsweeps=nsweeps, diag_a=level.diag_a, want_residual=want_residual,
-        )
+        cn = None
+        fields = (level.aa, level.bb, level.cc, level.dd)
+    arrays = (rhs, *fields) if zero_init else (u, rhs, *fields)
+    out = _fused(
+        *arrays, nsweeps=nsweeps, diag_a=level.diag_a,
+        want_residual=want_residual, cn=cn, zero_init=zero_init,
+    )
     return out if want_residual else (out, None)

@@ -136,3 +136,15 @@ def test_full_solve_with_pallas_backend():
         np.asarray(s2["rel_residual"]), np.asarray(s1["rel_residual"]),
         rtol=1e-6, atol=1e-12,
     )
+
+
+def test_zero_init_matches_explicit_zero():
+    """zero_init=True (no u window read) is bit-identical to passing an
+    explicit zeros iterate."""
+    level, _, rhs = _setup(64, jnp.float64)
+    z = jnp.zeros_like(rhs)
+    want_u, want_r = psm.fused_rb_sweeps(level, z, rhs, 3, want_residual=True)
+    got_u, got_r = psm.fused_rb_sweeps(level, None, rhs, 3, want_residual=True,
+                                       zero_init=True)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
