@@ -156,8 +156,34 @@ def timestepper_delta(
             return x
         return jax.lax.with_sharding_constraint(x, shardings[0])
 
-    def one_step(hi, lo):
-        rhs_d = constrain(delta_rhs(fine, hi, lo))
+    from hpcclassmultigridproject_tpu.mg.cycle import _pallas_eligible
+
+    sharded = shardings is not None and len(shardings[0].spec) > 0
+    use_fused_open = (
+        _pallas_eligible(cfg, fine, sharded)
+        and getattr(fine, "cn_from_v", False)
+    )
+
+    def open_step(hi, lo, d_pend):
+        """Fold the pending correction into the state pair and compute the
+        next step's delta rhs — one fused banded HBM pass when eligible
+        (ops/pallas/delta_step.py), else the separate jnp passes."""
+        if use_fused_open:
+            from hpcclassmultigridproject_tpu.ops.pallas.delta_step import (
+                fused_accumulate_open,
+            )
+
+            return fused_accumulate_open(fine, hi, lo, d_pend)
+        hi2, lo2 = _accumulate(hi, lo, d_pend, acc_dtype)
+        return hi2, lo2, delta_rhs(fine, hi2, lo2)
+
+    def step(carry, _):
+        # carry invariant: u_t = hi + lo + d_pend (the correction computed
+        # by the previous iteration is folded in here, fused with the
+        # opening so the state pair crosses HBM once per step)
+        hi, lo, d_pend = carry
+        hi2, lo2, rhs_d = open_step(hi, lo, d_pend)
+        hi2, lo2, rhs_d = constrain(hi2), constrain(lo2), constrain(rhs_d)
         res0 = jnp.maximum(interior_norm(rhs_d), tiny)
         d = jnp.zeros_like(rhs_d)
         for k in range(cfg.num_cycles):
@@ -172,27 +198,17 @@ def timestepper_delta(
                 d = mg_cycle(levels, d, rhs_d, cfg, shardings=shardings,
                              u_is_zero=k == 0)
         rel = interior_norm(r) / res0
-        hi2, lo2 = _accumulate(hi, lo, d, acc_dtype)
-        return constrain(hi2), constrain(lo2), rel
+        return (hi2, lo2, constrain(d)), (rel.astype(jnp.float32), rel <= cfg.tol)
 
-    def step(carry, _):
-        hi, lo = carry
-        hi2, lo2, rel = one_step(hi, lo)
-        return (hi2, lo2), (rel.astype(jnp.float32), rel <= cfg.tol)
-
-    # num_steps−1 steps under the scan; the final step runs in the epilogue
-    # so u^{T-1} is available for the rigorous high-precision certificate
-    # without carrying a second state pair through the scan
-    (hi_p, lo_p), (rels, conv) = jax.lax.scan(
-        step, (hi0, lo0), None, length=num_steps - 1
+    (hi_p, lo_p, d_last), (rels, conv) = jax.lax.scan(
+        step, (hi0, lo0, jnp.zeros_like(hi0)), None, length=num_steps
     )
-    hi, lo, rel_last = one_step(hi_p, lo_p)
-    rels = jnp.concatenate([rels, rel_last.astype(jnp.float32)[None]])
-    conv = jnp.concatenate([conv, (rel_last <= cfg.tol)[None]])
 
-    # epilogue: rigorous high-precision certificate of the final step
+    # epilogue: the final pending correction folds in high precision, and
+    # the last step's residual is recomputed entirely in the high dtype —
+    # the rigorous certificate (hi_p + lo_p = u^{T-1} by the carry invariant)
     u_prev = hi_p.astype(acc_dtype) + lo_p.astype(acc_dtype)
-    uT = hi.astype(acc_dtype) + lo.astype(acc_dtype)
+    uT = u_prev + d_last.astype(acc_dtype)
     rhs_hi = fine_hi.diag_b * u_prev - neighbor_sum(fine_hi, u_prev)
     r_hi = residual(fine_hi, uT, rhs_hi)
     res0_hi = interior_norm(residual(fine_hi, u_prev, rhs_hi))

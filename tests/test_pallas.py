@@ -148,3 +148,30 @@ def test_zero_init_matches_explicit_zero():
                                        zero_init=True)
     np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
     np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
+
+
+def test_fused_delta_open_matches_separate():
+    """The fused accumulate+opening kernel (ops/pallas/delta_step.py) is
+    bit-identical to the separate mg/delta.py passes."""
+    from hpcclassmultigridproject_tpu.mg.delta import (
+        _accumulate,
+        _split_hi_lo,
+        delta_rhs,
+    )
+    from hpcclassmultigridproject_tpu.ops.pallas.delta_step import (
+        fused_accumulate_open,
+    )
+
+    level, u, rhs = _setup(64, jnp.float64)
+    hi, lo = _split_hi_lo(u.astype(jnp.float64), jnp.float64)
+    d = 1e-3 * rhs
+    want_hi, want_lo = _accumulate(hi, lo, d, jnp.float64)
+    want_rhs = delta_rhs(level, want_hi, want_lo)
+    got_hi, got_lo, got_rhs = fused_accumulate_open(level, hi, lo, d)
+    np.testing.assert_array_equal(np.asarray(got_hi), np.asarray(want_hi))
+    np.testing.assert_array_equal(np.asarray(got_lo), np.asarray(want_lo))
+    # the rhs differs by ≤1 ulp: the compiler's fma fusion of a*b±c may
+    # associate differently between the two programs
+    np.testing.assert_allclose(
+        np.asarray(got_rhs), np.asarray(want_rhs), rtol=0, atol=1e-15
+    )
