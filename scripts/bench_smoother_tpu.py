@@ -38,13 +38,17 @@ def _sync(x):
 
 def make_runner(block, loops):
     """Repeat the smooth block `loops` times under one jit program, keeping
-    both outputs (u, residual) live so XLA cannot DCE the residual."""
+    both outputs (u, residual) live so XLA cannot DCE the residual.
+
+    `level` is an explicit jit argument: a closed-over level's coefficient
+    arrays would be embedded as program constants, and at n=4096 the
+    remote-compile request exceeds the tunnel's body-size limit."""
 
     @jax.jit
-    def run(u, rhs):
+    def run(level, u, rhs):
         def body(carry, _):
             u, acc = carry
-            u, res = block(u, rhs)
+            u, res = block(level, u, rhs)
             return (u, acc + res[0, 0]), None
 
         (u, acc), _ = jax.lax.scan(
@@ -55,13 +59,13 @@ def make_runner(block, loops):
     return run
 
 
-def timed(run, u, rhs, reps):
-    out, _ = run(u, rhs)
+def timed(run, level, u, rhs, reps):
+    out, _ = run(level, u, rhs)
     _sync(out)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out, _ = run(u, rhs)
+        out, _ = run(level, u, rhs)
         _sync(out)
         ts.append(time.perf_counter() - t0)
     return min(ts)
@@ -98,24 +102,24 @@ def main():
         l1 = max(4, (1024 // n) ** 2 * 16)
         l2 = 5 * l1
 
-        def jnp_block(u, rhs):
+        def jnp_block(level, u, rhs):
             for _ in range(NSWEEPS):
                 u = pops.rb_gauss_seidel(level, u, rhs)
             return u, pops.residual(level, u, rhs)
 
-        def pallas_block(u, rhs):
+        def pallas_block(level, u, rhs):
             return fused_rb_sweeps(level, u, rhs, NSWEEPS, want_residual=True)
 
         # correctness cross-check (identical f32 arithmetic -> exact match)
-        uj, _ = jax.jit(jnp_block)(u, rhs)
-        up, _ = jax.jit(pallas_block)(u, rhs)
+        uj, _ = jax.jit(jnp_block)(level, u, rhs)
+        up, _ = jax.jit(pallas_block)(level, u, rhs)
         err = float(jnp.max(jnp.abs(uj - up)))
 
         for name, block in (("jnp", jnp_block), ("pallas", pallas_block)):
             if (n, name) in done:
                 continue
-            t1 = timed(make_runner(block, l1), u, rhs, args.reps)
-            t2 = timed(make_runner(block, l2), u, rhs, args.reps)
+            t1 = timed(make_runner(block, l1), level, u, rhs, args.reps)
+            t2 = timed(make_runner(block, l2), level, u, rhs, args.reps)
             per_block = (t2 - t1) / (l2 - l1)
             points = (n - 1) ** 2
             emit({
