@@ -105,9 +105,7 @@ def _kernel(bh, total_rows, cn, *refs):
 @functools.partial(jax.jit, static_argnames=("cn",))
 def _fused_open(hi, lo, d, v1, v2, *, cn):
     rows, cols = hi.shape
-    per_row = 8 * cols * hi.dtype.itemsize  # 5 in + 3 out windows
-    bh = (_sm._VMEM_BUDGET // per_row - 2 * H) // 8 * 8
-    bh = max(8, min(bh, -(-rows // 8) * 8))
+    bh = _sm._pick_band(rows, cols, hi.dtype.itemsize, H, n_in=5, n_out=3)
     grid = pl.cdiv(rows, bh)
 
     in_spec = pl.BlockSpec(
@@ -131,6 +129,9 @@ def _fused_open(hi, lo, d, v1, v2, *, cn):
         out_specs=(out_spec,) * 3,
         out_shape=(s, s, s),
         interpret=_sm.INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_sm._VMEM_LIMIT
+        ),
     )(hi, lo, d, v1, v2)
 
 

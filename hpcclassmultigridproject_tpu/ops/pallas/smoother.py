@@ -37,13 +37,21 @@ from jax.experimental.pallas import tpu as pltpu
 # Flip for CPU-based testing of the kernel (tests/test_pallas.py).
 INTERPRET = False
 
-# Input-window working-set target; the chip has 16 MB VMEM and the true
-# footprint is ~(2x double-buffered windows + ~10 window-sized kernel
-# temporaries + 2x outputs).  Swept on-chip (RESULTS.md): taller bands cut
-# the h-row halo recompute overhead (n=2048 blocks improved ~2x over the
-# 3 MB setting), but 6 MB intermittently exceeds the 16 MB scoped-vmem limit
-# (21.2 M observed) — 4 MB is the largest always-safe setting.
-_VMEM_BUDGET = 4 * 1024 * 1024
+# Input-window working-set target.  TPU v5e has 128 MiB of VMEM; XLA's
+# DEFAULT scoped-vmem cap is only 16 MiB, which forced short bands (and made
+# taller ones fail nondeterministically across remote-compile helpers, the
+# "intermittent 21.2 M" of round 2's first sweep).  The kernel now raises the
+# cap explicitly (`vmem_limit_bytes` below), so bands are sized by the REAL
+# budget: taller bands amortize the 2h-row halo recompute (at the old 4 MB /
+# 6-window setting, n=4096 bands were 24 rows against 16 halo rows — 1.67x
+# traffic).  Swept on-chip (RESULTS.md round-2 band table).
+_VMEM_BUDGET = 32 * 1024 * 1024
+
+# Explicit scoped-VMEM cap handed to Mosaic.  Leaves headroom below the
+# 128 MiB physical VMEM for XLA's own scratch; the kernel's true footprint
+# (2x double-buffered input windows + 2x output bands + temporaries) stays
+# well under this by construction of _pick_band.
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _halo(nsweeps: int) -> int:
@@ -52,11 +60,16 @@ def _halo(nsweeps: int) -> int:
     return -(-(2 * nsweeps + 1) // 8) * 8
 
 
-def _pick_band(rows: int, cols: int, itemsize: int, h: int) -> int:
-    """Largest multiple-of-8 band height whose 6 input windows fit the VMEM
-    budget."""
-    per_row = 6 * cols * itemsize
-    bh = (_VMEM_BUDGET // per_row - 2 * h) // 8 * 8
+def _pick_band(rows: int, cols: int, itemsize: int, h: int,
+               n_in: int = 6, n_out: int = 2) -> int:
+    """Largest multiple-of-8 band height whose pipeline working set —
+    2x double-buffered input windows of (bh+2h) rows plus 2x double-buffered
+    output bands — fits the VMEM budget (temporaries ride the headroom
+    between _VMEM_BUDGET and _VMEM_LIMIT)."""
+    per_row_in = 2 * n_in * cols * itemsize
+    per_row_out = 2 * n_out * cols * itemsize
+    bh = ((_VMEM_BUDGET - per_row_in * 2 * h) // (per_row_in + per_row_out)
+          ) // 8 * 8
     bh = max(8, min(bh, -(-rows // 8) * 8))
     return bh
 
@@ -164,9 +177,10 @@ def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False):
     # where fields = (aa, bb, cc, dd) precomputed or (v1, v2) with cn set
     rows, cols = arrays[0].shape
     h = _halo(nsweeps)
-    bh = _pick_band(rows, cols, arrays[0].dtype.itemsize, h)
-    grid = pl.cdiv(rows, bh)
     n_in = len(arrays)
+    bh = _pick_band(rows, cols, arrays[0].dtype.itemsize, h,
+                    n_in=n_in, n_out=2 if want_residual else 1)
+    grid = pl.cdiv(rows, bh)
 
     # overlapping element-offset windows: rows [max(i*bh-h, 0), +bh+2h)
     # index-map returns pinned to i32: under jax_enable_x64 a bare Python 0
@@ -198,6 +212,7 @@ def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False):
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=INTERPRET,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(*arrays)
 
 
