@@ -13,7 +13,13 @@ colors) are preserved across band boundaries by halo recomputation (temporal
 blocking): each band loads an H-row halo on each side (overlapping
 `pl.Element` windows) and recomputes the sweep cascade over a validity region
 that shrinks by one row per color pass, so the final center rows carry
-exactly the values a global barrier schedule would produce.
+exactly the values a global barrier schedule would produce.  "Exactly" means
+schedule-exact: every output element is produced by the same operation
+sequence on the same operand values as the single-band program.  Bit-level
+results may still drift by a few ulps between band GEOMETRIES, because two
+geometries are two different XLA programs and the compiler is free to fuse
+a*b+c into fma differently in each (tests/test_pallas.py::
+test_fused_multiband_banding_is_exact pins this contract).
 H = ceil((2·nsweeps+1)/8)·8 covers the dependency radius of the cascade plus
 the trailing residual and keeps (8,128) f32 tile alignment.
 
@@ -37,21 +43,28 @@ from jax.experimental.pallas import tpu as pltpu
 # Flip for CPU-based testing of the kernel (tests/test_pallas.py).
 INTERPRET = False
 
-# Input-window working-set target.  TPU v5e has 128 MiB of VMEM; XLA's
-# DEFAULT scoped-vmem cap is only 16 MiB, which forced short bands (and made
-# taller ones fail nondeterministically across remote-compile helpers, the
-# "intermittent 21.2 M" of round 2's first sweep).  The kernel now raises the
-# cap explicitly (`vmem_limit_bytes` below), so bands are sized by the REAL
-# budget: taller bands amortize the 2h-row halo recompute (at the old 4 MB /
-# 6-window setting, n=4096 bands were 24 rows against 16 halo rows — 1.67x
-# traffic).  Swept on-chip (RESULTS.md round-2 band table).
-_VMEM_BUDGET = 32 * 1024 * 1024
+# Input-window working-set target; the chip exposes 16 MiB of scoped VMEM to
+# the kernel by default and the true footprint is ~(2x double-buffered
+# windows + kernel temporaries + 2x outputs).  Swept on-chip (RESULTS.md):
+# taller bands cut the h-row halo recompute overhead (n=2048 blocks improved
+# ~2x over the 3 MB setting), but 6 MB intermittently exceeds the 16 MB
+# scoped-vmem limit (21.2 M observed) — 4 MB is the largest always-safe
+# setting.  Round 2 ended by blind-raising this to 32 MB + a 100 MB
+# vmem_limit_bytes override, which FAULTED THE CHIP (BENCH_r02 rc=1): any
+# future retune must pass scripts/smoke_tpu.py on hardware first, and
+# _assert_vmem_fit below now rejects budgets whose modeled working set
+# exceeds the scoped-VMEM cap at trace time instead of as a kernel fault.
+_VMEM_BUDGET = 4 * 1024 * 1024
 
-# Explicit scoped-VMEM cap handed to Mosaic.  Leaves headroom below the
-# 128 MiB physical VMEM for XLA's own scratch; the kernel's true footprint
-# (2x double-buffered input windows + 2x output bands + temporaries) stays
-# well under this by construction of _pick_band.
-_VMEM_LIMIT = 100 * 1024 * 1024
+# Scoped-VMEM cap the working-set assertion checks against.  This is XLA's
+# default Mosaic cap; raising it (via CompilerParams) is only legitimate
+# together with an on-chip stress run — see scripts/smoke_tpu.py.
+_VMEM_LIMIT = 16 * 1024 * 1024
+
+# Empirical allowance for Mosaic kernel temporaries, in input-window units
+# (the sweep cascade keeps ~4 live window-sized intermediates: u, upd, the
+# color/validity masks and the nb() accumulator).
+_TEMP_WINDOWS = 4
 
 
 def _halo(nsweeps: int) -> int:
@@ -60,16 +73,35 @@ def _halo(nsweeps: int) -> int:
     return -(-(2 * nsweeps + 1) // 8) * 8
 
 
+def _assert_vmem_fit(bh: int, cols: int, itemsize: int, h: int,
+                     n_in: int, n_out: int) -> None:
+    """Trace-time guard (VERDICT r2 #1): the modeled pipeline working set —
+    2x double-buffered input windows of (bh+2h) rows, 2x double-buffered
+    output bands, plus the temporary allowance — must fit the scoped-VMEM
+    cap.  A bad _VMEM_BUDGET now fails here with a readable error instead of
+    faulting the TPU worker at run time."""
+    win = (bh + 2 * h) * cols * itemsize
+    band = bh * cols * itemsize
+    footprint = 2 * n_in * win + 2 * n_out * band + _TEMP_WINDOWS * win
+    if footprint > _VMEM_LIMIT:
+        raise ValueError(
+            f"fused-smoother band working set {footprint / 2**20:.1f} MiB "
+            f"(bh={bh}, cols={cols}, {n_in} in / {n_out} out windows, "
+            f"+{_TEMP_WINDOWS} temporaries) exceeds the {_VMEM_LIMIT / 2**20:.0f}"
+            " MiB scoped-VMEM cap; lower _VMEM_BUDGET (or validate a raised "
+            "cap on hardware with scripts/smoke_tpu.py first)"
+        )
+
+
 def _pick_band(rows: int, cols: int, itemsize: int, h: int,
-               n_in: int = 6, n_out: int = 2) -> int:
-    """Largest multiple-of-8 band height whose pipeline working set —
-    2x double-buffered input windows of (bh+2h) rows plus 2x double-buffered
-    output bands — fits the VMEM budget (temporaries ride the headroom
-    between _VMEM_BUDGET and _VMEM_LIMIT)."""
-    per_row_in = 2 * n_in * cols * itemsize
-    per_row_out = 2 * n_out * cols * itemsize
-    bh = ((_VMEM_BUDGET - per_row_in * 2 * h) // (per_row_in + per_row_out)
-          ) // 8 * 8
+               n_windows: int = 6) -> int:
+    """Largest multiple-of-8 band height whose `n_windows` input-window rows
+    fit the VMEM budget.  The fixed window-count proxy (6 for the smoother,
+    8 for the delta opening) is the round-2 on-chip-proven heuristic — its
+    real double-buffered footprint is checked by _assert_vmem_fit at the
+    call sites."""
+    per_row = n_windows * cols * itemsize
+    bh = (_VMEM_BUDGET // per_row - 2 * h) // 8 * 8
     bh = max(8, min(bh, -(-rows // 8) * 8))
     return bh
 
@@ -178,8 +210,9 @@ def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False):
     rows, cols = arrays[0].shape
     h = _halo(nsweeps)
     n_in = len(arrays)
-    bh = _pick_band(rows, cols, arrays[0].dtype.itemsize, h,
-                    n_in=n_in, n_out=2 if want_residual else 1)
+    bh = _pick_band(rows, cols, arrays[0].dtype.itemsize, h)
+    _assert_vmem_fit(bh, cols, arrays[0].dtype.itemsize, h,
+                     n_in=n_in, n_out=2 if want_residual else 1)
     grid = pl.cdiv(rows, bh)
 
     # overlapping element-offset windows: rows [max(i*bh-h, 0), +bh+2h)
@@ -212,7 +245,6 @@ def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False):
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=INTERPRET,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(*arrays)
 
 

@@ -10,6 +10,13 @@ import json
 import os
 import sys
 
+# Hermetic in an un-installed checkout: the worker is spawned with the repo
+# root as neither cwd nor sys.path entry, so bootstrap it from this file's
+# location before importing the package (VERDICT r2 weak #3).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 
 def main():
     port, nproc, pid, outfile = sys.argv[1:5]
