@@ -110,6 +110,17 @@ class AdvectionDiffusion:
                     f"residual {float(np.asarray(stats['rel_residual'])[bad]):.3e}"
                     f" > tol {self.solver.tol:g}"
                 )
+            if "certified" in stats:
+                cert = np.asarray(stats["certified"])
+                if not cert.all():
+                    bad = int(np.argmin(cert))
+                    warnings.warn(
+                        f"delta-form rigorous certificate FAILED at step {bad}:"
+                        " true high-dtype relative residual "
+                        f"{float(np.asarray(stats['rel_residual_hi_steps'])[bad]):.3e}"
+                        f" > tol {self.solver.tol:g} (certify_every="
+                        f"{self.solver.certify_every})"
+                    )
         return uT, stats
 
     def step(self, u: jnp.ndarray):

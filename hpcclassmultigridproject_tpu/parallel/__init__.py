@@ -17,12 +17,17 @@ import jax
 from hpcclassmultigridproject_tpu.mg.timestepper import timestepper
 
 
-def distributed_run(model, mesh, min_local: int = 64):
+def distributed_run(model, mesh, min_local: int = 64, layout: str = "auto"):
     """Run a model's full timestepped solve block-partitioned over `mesh`.
 
-    Fine levels are 2-D block-sharded (halo exchange + psum norms inserted by
-    GSPMD over ICI); coarse levels agglomerate to replicated.  Returns
-    (uT, stats) with uT sharded over the mesh.
+    Fine levels are sharded (halo exchange + psum norms over ICI); coarse
+    levels agglomerate to replicated.  Returns (uT, stats) with uT sharded
+    over the mesh.
+
+    `layout` ("auto" | "2d" | "rows", parallel/sharding.py): "auto" picks
+    "rows" when the fused sharded Pallas smoother will run the fine levels
+    (TPU + f32 + rbgs — parallel/pallas_halo.py) and "2d" GSPMD blocks
+    otherwise.
 
     Under a multi-process runtime (jax.distributed initialized,
     parallel/distributed.py) the model's host-local setup arrays are first
@@ -35,7 +40,12 @@ def distributed_run(model, mesh, min_local: int = 64):
         shard_level_data,
     )
 
-    shardings = level_shardings(model.levels, mesh, min_local)
+    if layout == "auto":
+        from hpcclassmultigridproject_tpu.mg.cycle import _pallas_backend_ok
+
+        layout = "rows" if _pallas_backend_ok(model.solver, model.levels[0]) else "2d"
+
+    shardings = level_shardings(model.levels, mesh, min_local, layout=layout)
     nsteps, cfg = model.problem.num_steps, model.solver
 
     from hpcclassmultigridproject_tpu.core.layout import crop_field

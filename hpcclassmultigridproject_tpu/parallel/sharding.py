@@ -22,21 +22,46 @@ def level_shardings(
     levels: tuple[Level, ...],
     mesh: Mesh,
     min_local: int = 64,
+    layout: str = "2d",
 ) -> tuple[NamedSharding, ...]:
     """One NamedSharding per level: partitioned fine levels, replicated
     (agglomerated) coarse levels.
 
     `min_local`: smallest acceptable per-device block extent (nodes per mesh
     axis) before a level is agglomerated.
+
+    `layout` selects the partition shape of non-agglomerated levels:
+      * "2d"   — P(ax_x, ax_y) blocks; GSPMD inserts one-cell halo exchange
+        per color pass.  Works for every smoother/operator.
+      * "rows" — P((ax_x, ax_y), None): rows sharded over ALL devices, full
+        128-lane-aligned width per block.  This is the layout the sharded
+        fused Pallas smoother requires (parallel/pallas_halo.py — one deep-
+        halo ppermute round per smooth block instead of 2·nsweeps GSPMD
+        rounds); the jnp/GSPMD kernels run fine under it too.
     """
     ax_x, ax_y = mesh.axis_names
     nx, ny = mesh.shape[ax_x], mesh.shape[ax_y]
+    ndev = nx * ny
+    if layout == "rows":
+        part = P((ax_x, ax_y), None)
+    elif layout == "2d":
+        part = P(ax_x, ax_y)
+    else:
+        raise ValueError(f"unknown layout {layout!r} (want '2d' or 'rows')")
     out = []
     for level in levels:
-        local_x = (level.n + 1) // max(nx, 1)
-        local_y = (level.n + 1) // max(ny, 1)
-        if min(local_x, local_y) >= min_local and (nx * ny) > 1:
-            out.append(NamedSharding(mesh, P(ax_x, ax_y)))
+        if layout == "rows":
+            # agglomerate when per-device row slabs get thin: below
+            # min_local rows there is more halo than interior, and below the
+            # fused kernel's cascade depth the Pallas path would be barred
+            # anyway (mg/cycle.py::_pallas_sharded_eligible)
+            partitioned = (level.n + 1) // ndev >= min_local
+        else:
+            local_x = (level.n + 1) // max(nx, 1)
+            local_y = (level.n + 1) // max(ny, 1)
+            partitioned = min(local_x, local_y) >= min_local
+        if partitioned and ndev > 1:
+            out.append(NamedSharding(mesh, part))
         else:
             out.append(NamedSharding(mesh, P()))
     return tuple(out)

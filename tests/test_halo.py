@@ -1,6 +1,7 @@
 """Explicit shard_map halo-exchange smoothing (parallel/halo.py) vs the
 single-device padded kernels — on the 8-virtual-device CPU mesh."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -75,3 +76,106 @@ def test_halo_rejects_9pt():
                                  se=level.aa, sw=level.aa)
     with pytest.raises(NotImplementedError):
         smooth_distributed(make_mesh(), level9, u, rhs)
+
+
+# ---------------------------------------------------------------------------
+# sharded fused Pallas smoothing (parallel/pallas_halo.py) — interpret mode
+# ---------------------------------------------------------------------------
+
+
+def _rows_setup(n=256):
+    import hpcclassmultigridproject_tpu.ops.pallas.smoother as psm
+
+    psm.INTERPRET = True
+    level, u, rhs = _setup(n)
+    return psm, level, u, rhs
+
+
+@pytest.mark.slow
+def test_fused_sharded_matches_single_device_fused():
+    """Deep-halo shard_map fused smoothing == the single-device fused kernel
+    (within the kernel's cross-geometry ulp contract — the per-device blocks
+    are different XLA programs, see ops/pallas/smoother.py docstring) and
+    == the jnp reference at the fused kernel's own tolerance."""
+    from hpcclassmultigridproject_tpu.parallel.pallas_halo import (
+        fused_smooth_sharded,
+    )
+
+    psm, level, u, rhs = _rows_setup(256)
+    mesh = make_mesh()  # (2, 4): rows sharded over all 8 devices
+    want_u, want_r = psm.fused_rb_sweeps(level, u, rhs, 3, want_residual=True)
+    got_u, got_r = fused_smooth_sharded(
+        mesh, level, u, rhs, 3, want_residual=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_u), np.asarray(want_u), rtol=1e-13, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_r), np.asarray(want_r), rtol=0, atol=1e-13
+    )
+    # and against the jnp padded reference (the oracle the fused kernel is
+    # tested against single-device, tests/test_pallas.py)
+    ju = u
+    for _ in range(3):
+        ju = pops.rb_gauss_seidel(level, ju, rhs)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ju), atol=1e-13)
+
+
+@pytest.mark.slow
+def test_fused_sharded_zero_init():
+    from hpcclassmultigridproject_tpu.parallel.pallas_halo import (
+        fused_smooth_sharded,
+    )
+
+    psm, level, _, rhs = _rows_setup(256)
+    mesh = make_mesh()
+    z = jnp.zeros_like(rhs)
+    want_u, want_r = fused_smooth_sharded(mesh, level, z, rhs, 3,
+                                          want_residual=True)
+    got_u, got_r = fused_smooth_sharded(mesh, level, None, rhs, 3,
+                                        want_residual=True, zero_init=True)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
+
+
+def test_fused_sharded_rejects_galerkin():
+    import dataclasses
+
+    from hpcclassmultigridproject_tpu.parallel.pallas_halo import (
+        fused_smooth_sharded,
+    )
+
+    psm, level, u, rhs = _rows_setup(64)
+    level9 = dataclasses.replace(level, ne=level.aa, nw=level.aa,
+                                 se=level.aa, sw=level.aa)
+    with pytest.raises(NotImplementedError):
+        fused_smooth_sharded(make_mesh(), level9, u, rhs, 3)
+
+
+@pytest.mark.slow
+def test_rows_layout_full_solve_matches_single_device():
+    """distributed_run with the rows layout + backend='pallas' (interpret):
+    fine levels smooth through the sharded fused kernel, thin/agglomerated
+    levels fall back per _pallas_sharded_eligible — the full timestepped
+    solve must match the single-device run."""
+    from hpcclassmultigridproject_tpu import ProblemConfig, SolverConfig
+    from hpcclassmultigridproject_tpu.models import AdvectionDiffusion
+    from hpcclassmultigridproject_tpu.parallel import distributed_run
+
+    import hpcclassmultigridproject_tpu.ops.pallas.smoother as psm
+
+    psm.INTERPRET = True
+    p = ProblemConfig(n=256, num_steps=3)
+    s = SolverConfig(dtype=jnp.float64, backend="pallas", cycle_mode="fixed",
+                     num_cycles=1, coarse_mode="dense")
+    model = AdvectionDiffusion(p, s)
+    uT_single, _ = model.run()
+    mesh = make_mesh()
+    uT_dist, stats = distributed_run(model, mesh, min_local=8)
+    # layout "auto" must have picked rows for backend="pallas"
+    from hpcclassmultigridproject_tpu.parallel.sharding import level_shardings
+    sh = level_shardings(model.levels, mesh, 8, layout="rows")
+    assert sh[0].spec == jax.sharding.PartitionSpec(("x", "y"), None)
+    np.testing.assert_allclose(
+        np.asarray(uT_dist), np.asarray(uT_single), rtol=0, atol=1e-12
+    )
