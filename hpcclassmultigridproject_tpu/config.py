@@ -91,6 +91,14 @@ class SolverConfig:
                                       # accumulate u += δ in `refine_dtype` — zero
                                       # high-precision stencil work per step; requires
                                       # refine_dtype set and cycle_mode="fixed"
+    certify_every: int = 0            # delta mode: every k-th step additionally
+                                      # recomputes the step's TRUE residual in
+                                      # refine_dtype inside the scan (one emulated-
+                                      # f64 stencil pass per k steps) — the rigorous
+                                      # mid-run certificate (the f32 delta-scale
+                                      # certificate alone can stay green while the
+                                      # true residual fails, RESULTS.md round 2).
+                                      # 0 = final step only (the f64 epilogue)
 
     def __post_init__(self):
         _check = {

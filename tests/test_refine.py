@@ -314,3 +314,59 @@ def test_delta_form_wcycle():
     uT, stats = m.run()
     assert bool(np.asarray(stats["converged"]).all())
     assert float(stats["final_rel_residual_hi"]) <= 1e-6
+
+
+@pytest.mark.slow
+def test_delta_certify_every_catches_poisoned_rhs():
+    """Per-step rigorous certification (SolverConfig.certify_every, VERDICT
+    r2 #6): every k-th step recomputes the TRUE high-dtype residual inside
+    the scan.  A healthy difference-form rhs certifies ~7e-8; deliberately
+    poisoning the rhs with the naive coefficient form (the cancellation-
+    prone variant RESULTS.md measured failing tol while the f32 delta-scale
+    certificate stayed green) is caught MID-RUN, not only by the final-step
+    epilogue."""
+    import hpcclassmultigridproject_tpu.mg.delta as delta_mod
+    from hpcclassmultigridproject_tpu.ops.padded import neighbor_sum
+
+    def make(certify_every=3):
+        return AdvectionDiffusion(
+            ProblemConfig(n=512, num_steps=10),
+            SolverConfig(dtype=jnp.float32, refine_dtype=jnp.float64,
+                         tol=1e-6, cycle_mode="fixed", num_cycles=1,
+                         coarse_mode="dense", delta_form=True,
+                         certify_every=certify_every),
+        )
+
+    # healthy difference-form rhs: all rigorous certificates pass
+    _, stats = make().run(warn=False)
+    rh = np.asarray(stats["rel_residual_hi_steps"])
+    assert (rh >= 0).sum() == 3          # steps 2, 5, 8
+    assert rh[rh >= 0].max() <= 1e-6
+    assert bool(np.asarray(stats["certified"]).all())
+
+    # poisoned: naive (diag_b - diag_a)*u - 2*nb_sum rhs, f32-cancellation
+    def naive_rhs(level, u_hi, u_lo=None):
+        u = u_hi if u_lo is None else u_hi + u_lo
+        db_da = u.dtype.type(level.diag_b - level.diag_a)
+        return db_da * u - 2.0 * neighbor_sum(level, u)
+
+    orig = delta_mod.delta_rhs
+    delta_mod.delta_rhs = naive_rhs
+    try:
+        _, stats_p = make().run(warn=False)
+    finally:
+        delta_mod.delta_rhs = orig
+    rh_p = np.asarray(stats_p["rel_residual_hi_steps"])
+    cert_p = np.asarray(stats_p["certified"])
+    # the f32 delta-scale certificate STAYS green (the round-2 blind spot)...
+    assert bool(np.asarray(stats_p["converged"]).all())
+    # ...but the rigorous mid-run certificate catches it at the FIRST
+    # certified step (step 2), 8 steps before the final epilogue would
+    assert rh_p[2] > 1e-6
+    assert not cert_p[2]
+    with pytest.warns(UserWarning, match="rigorous certificate FAILED"):
+        delta_mod.delta_rhs = naive_rhs
+        try:
+            make().run(warn=True)
+        finally:
+            delta_mod.delta_rhs = orig
