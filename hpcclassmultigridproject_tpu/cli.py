@@ -106,6 +106,22 @@ def cmd_run(args) -> int:
         uT, steps = run_with_checkpoints(model, mgr, every=args.checkpoint_every)
         stats = None
         timing = {"best_s": None}
+    elif args.dump_every:
+        # trajectory capture for `viz --animate` (the gs_tester.m:101-129
+        # pcolor animation analog): run in dump_every-step chunks, writing a
+        # numbered dump series next to --dump
+        if not args.dump:
+            raise SystemExit("--dump-every requires --dump PREFIX")
+        base = args.dump[:-4] if args.dump.endswith(".txt") else args.dump
+        u, step = model.u0, 0
+        save_field_txt(f"{base}.step0000.txt", model.crop(u))
+        while step < model.problem.num_steps:
+            chunk = min(args.dump_every, model.problem.num_steps - step)
+            u, _ = model.run_chunk(u, chunk)
+            step += chunk
+            save_field_txt(f"{base}.step{step:04d}.txt", model.crop(u))
+        uT, stats = model.crop(u), None
+        timing = {"best_s": None}
     else:
         # warn=False inside the timed region (the warning check transfers
         # per-step stats to host — a tunnel round-trip per rep); convergence
@@ -270,7 +286,9 @@ def cmd_gsbench(args) -> int:
 
 
 def cmd_viz(args) -> int:
-    """pcolormesh render of a dumped field (uTplot.py:1-62 analog)."""
+    """pcolormesh render of a dumped field (uTplot.py:1-62 analog); with
+    --animate, a time-evolution animation over a dump series (the
+    gs_tester.m:101-129 pcolor animation analog)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -278,6 +296,41 @@ def cmd_viz(args) -> int:
     import numpy as np
 
     from hpcclassmultigridproject_tpu.utils.io import load_field_txt
+
+    if args.animate:
+        import glob
+
+        from matplotlib.animation import FuncAnimation, PillowWriter
+
+        paths = sorted(glob.glob(args.field))
+        if len(paths) < 2:
+            raise SystemExit(
+                f"--animate needs a dump series (glob {args.field!r} matched "
+                f"{len(paths)} files; produce one with `run --dump prefix "
+                "--dump-every K`)"
+            )
+        frames = [load_field_txt(p) for p in paths]
+        n = frames[0].shape[0] - 1
+        x = np.linspace(0.0, 1.0, n + 1)
+        vmax = max(float(np.abs(f).max()) for f in frames) or 1.0
+        fig, ax = plt.subplots(figsize=(6, 5))
+        pcm = ax.pcolormesh(x, x, frames[0].T, shading="auto",
+                            vmin=0.0, vmax=vmax)
+        fig.colorbar(pcm, ax=ax)
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        title = ax.set_title(paths[0])
+
+        def draw(i):
+            pcm.set_array(frames[i].T.ravel())
+            title.set_text(paths[i])
+            return pcm, title
+
+        anim = FuncAnimation(fig, draw, frames=len(frames))
+        out = args.out if args.out.endswith(".gif") else args.out + ".gif"
+        anim.save(out, writer=PillowWriter(fps=args.fps))
+        print(json.dumps({"out": out, "n": n, "frames": len(frames)}))
+        return 0
 
     field = load_field_txt(args.field)
     n = field.shape[0] - 1
@@ -387,6 +440,9 @@ def main(argv=None) -> int:
     _solver_args(p)
     p.add_argument("--reps", type=int, default=1)
     p.add_argument("--dump", default=None, help="write uT as tab-separated text")
+    p.add_argument("--dump-every", type=int, default=0,
+                   help="also dump every K steps as <dump>.stepNNNN.txt "
+                        "(trajectory series for `viz --animate`)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=10)
     p.set_defaults(fn=cmd_run)
@@ -414,9 +470,13 @@ def main(argv=None) -> int:
     p.add_argument("--reps", type=int, default=3)
     p.set_defaults(fn=cmd_gsbench)
 
-    p = sub.add_parser("viz", help="render a field dump (uTplot.py)")
-    p.add_argument("field")
+    p = sub.add_parser("viz", help="render a field dump (uTplot.py), or an "
+                                   "animation of a dump series (gs_tester.m)")
+    p.add_argument("field", help="dump file; with --animate, a glob over a "
+                                 "dump series (quote it)")
     p.add_argument("--out", default="uT.pdf")
+    p.add_argument("--animate", action="store_true")
+    p.add_argument("--fps", type=int, default=8)
     p.set_defaults(fn=cmd_viz)
 
     p = sub.add_parser("plot-sweep", help="log-log runtime plot (speedupplot.py)")

@@ -129,3 +129,28 @@ def test_cli_delta(capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["converged"]
+
+
+def test_cli_trajectory_dump_and_animation(tmp_path, capsys):
+    """run --dump-every writes a numbered dump series; viz --animate renders
+    it to a gif (the gs_tester.m:101-129 pcolor animation analog)."""
+    import glob as _glob
+
+    dump = str(tmp_path / "uT.txt")
+    rc = main(["run", "--n", "32", "--steps", "6", "--dtype", "f64",
+               "--dump", dump, "--dump-every", "2"])
+    assert rc == 0
+    capsys.readouterr()
+    series = sorted(_glob.glob(str(tmp_path / "uT.step*.txt")))
+    assert len(series) == 4  # steps 0, 2, 4, 6
+    # final series entry equals the final dump
+    rc = main(["diff", dump, series[-1]])
+    assert json.loads(capsys.readouterr().out)["frobenius_norm"] == 0.0
+
+    gif = str(tmp_path / "anim.gif")
+    rc = main(["viz", str(tmp_path / "uT.step*.txt"), "--animate",
+               "--out", gif])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["frames"] == 4
+    assert os.path.getsize(gif) > 1000
