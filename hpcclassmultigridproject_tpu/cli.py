@@ -209,7 +209,10 @@ def cmd_scaling(args) -> int:
             args.n = base_n * scale
         model = _build_model(args)
         mesh = make_mesh(devices[:c])
-        timing = time_run(lambda: distributed_run(model, mesh), reps=args.reps)
+        timing = time_run(
+            lambda: distributed_run(model, mesh, layout=args.layout),
+            reps=args.reps,
+        )
         uT, stats = timing.pop("out")
         if base_t is None:
             base_t = timing["best_s"]
@@ -217,6 +220,7 @@ def cmd_scaling(args) -> int:
             "devices": c,
             "n": args.n,
             "mesh": dict(mesh.shape),
+            "layout": args.layout,
             "seconds": timing["best_s"],
             "center_uT": model.center_value(uT),
         }
@@ -458,6 +462,9 @@ def main(argv=None) -> int:
     p.add_argument("--max-devices", type=int, default=8)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--mode", choices=["strong", "weak"], default="strong")
+    p.add_argument("--layout", choices=["auto", "2d", "rows"], default="auto",
+                   help="level partition layout (parallel/sharding.py): "
+                        "'rows' enables the sharded fused Pallas smoother")
     p.add_argument("--distributed", action="store_true",
                    help="initialize jax.distributed (multi-process/DCN) first")
     p.set_defaults(fn=cmd_scaling)

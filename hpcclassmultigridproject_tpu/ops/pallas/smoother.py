@@ -56,10 +56,20 @@ INTERPRET = False
 # exceeds the scoped-VMEM cap at trace time instead of as a kernel fault.
 _VMEM_BUDGET = 4 * 1024 * 1024
 
-# Scoped-VMEM cap the working-set assertion checks against.  This is XLA's
-# default Mosaic cap; raising it (via CompilerParams) is only legitimate
-# together with an on-chip stress run — see scripts/smoke_tpu.py.
+# Scoped-VMEM cap the working-set assertion checks against.  At the default
+# (= XLA's own Mosaic cap) no CompilerParams override is emitted; an
+# experiment that raises it (scripts/band sweeps) gets an explicit
+# vmem_limit_bytes AND the matching trace-time assertion — but a raised cap
+# may only become the default together with an on-chip stress run
+# (scripts/smoke_tpu.py).
 _VMEM_LIMIT = 16 * 1024 * 1024
+_DEFAULT_VMEM_LIMIT = 16 * 1024 * 1024
+
+
+def _compiler_params():
+    if _VMEM_LIMIT == _DEFAULT_VMEM_LIMIT:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 # Empirical allowance for Mosaic kernel temporaries, in input-window units
 # (the sweep cascade keeps ~4 live window-sized intermediates: u, upd, the
@@ -245,6 +255,7 @@ def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False):
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=INTERPRET,
+        compiler_params=_compiler_params(),
     )(*arrays)
 
 
