@@ -213,3 +213,17 @@ def test_pallas_backend_f64_on_tpu_raises(monkeypatch):
     # f32 passes the gate
     assert cyc._pallas_backend_ok(SolverConfig(dtype=jnp.float32,
                                                backend="pallas"), level)
+
+
+def test_vmem_working_set_guard():
+    """_assert_vmem_fit rejects band geometries whose modeled working set
+    exceeds the scoped-VMEM cap at trace time (the round-2 fault was a
+    32 MB budget shipped blind — it must now fail in Python, not on-chip)."""
+    with pytest.raises(ValueError, match="exceeds the 16 MiB scoped-VMEM"):
+        # bh sized as the old bad config would have: ~592 rows of 4608-lane
+        # f32 windows is far beyond 16 MiB
+        psm._assert_vmem_fit(592, 4608, 4, 8, n_in=4, n_out=2)
+    # the proven default config fits
+    psm._assert_vmem_fit(
+        psm._pick_band(4104, 4224, 4, 8), 4224, 4, 8, n_in=4, n_out=2
+    )
