@@ -179,3 +179,31 @@ def test_rows_layout_full_solve_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(uT_dist), np.asarray(uT_single), rtol=0, atol=1e-12
     )
+
+
+def test_rows_layout_thin_slab_falls_back_to_jnp():
+    """n=64 over 8 devices gives 10-row slabs < the 16-row cascade depth:
+    _pallas_sharded_eligible must bar the fused path (falling back to the
+    GSPMD jnp smoother) rather than raising, and the solve still matches."""
+    from hpcclassmultigridproject_tpu import ProblemConfig, SolverConfig
+    from hpcclassmultigridproject_tpu.mg.cycle import _pallas_sharded_eligible
+    from hpcclassmultigridproject_tpu.models import AdvectionDiffusion
+    from hpcclassmultigridproject_tpu.parallel import distributed_run
+    from hpcclassmultigridproject_tpu.parallel.sharding import level_shardings
+
+    import hpcclassmultigridproject_tpu.ops.pallas.smoother as psm
+
+    psm.INTERPRET = True
+    p = ProblemConfig(n=64, num_steps=3)
+    s = SolverConfig(dtype=jnp.float64, backend="pallas", cycle_mode="fixed",
+                     num_cycles=1, coarse_mode="dense", num_levels=2)
+    model = AdvectionDiffusion(p, s)
+    mesh = make_mesh()
+    sh = level_shardings(model.levels, mesh, 8, layout="rows")
+    assert sh[0].spec == jax.sharding.PartitionSpec(("x", "y"), None)
+    assert not _pallas_sharded_eligible(s, model.levels[0], sh[0])
+    uT_single, _ = model.run()
+    uT_dist, _ = distributed_run(model, mesh, min_local=8, layout="rows")
+    np.testing.assert_allclose(
+        np.asarray(uT_dist), np.asarray(uT_single), rtol=0, atol=1e-12
+    )
