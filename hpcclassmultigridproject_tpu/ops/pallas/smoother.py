@@ -117,7 +117,7 @@ def _pick_band(rows: int, cols: int, itemsize: int, h: int,
 
 
 def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
-            *refs):
+            add_corr, *refs):
     # refs: with cn=None, (u, rhs, aa, bb, cc, dd) windows of shape
     # (bh+2h, cols); with cn=(rr, half_h, nu, n), (u, rhs, v1, v2) windows
     # and the CN coefficients are recomputed in-kernel (the reference's own
@@ -125,7 +125,10 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
     # reads for a handful of free VPU flops).  With zero_init, the u window
     # is absent entirely (the sweep cascade starts from u = 0 — the coarse-
     # level correction solves and the delta opening all start from zero, so
-    # skipping the read saves materializing + loading a zeros array).
+    # skipping the read saves materializing + loading a zeros array).  With
+    # add_corr, a `corr` window follows u and the iterate is u + corr — the
+    # prolonged coarse correction folds into the post-smooth read instead of
+    # costing its own add pass over HBM (SURVEY §7.3c).
     # Then outputs.
     i = pl.program_id(0)
     first = i == 0
@@ -145,10 +148,14 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
     # cannot lower (f64 convert recursion), so zeros are dtype-exact.
     dtype = refs[0].dtype
     zero = dtype.type(0)
-    n_in = (6 if cn is None else 4) - (1 if zero_init else 0)
+    n_in = ((6 if cn is None else 4) - (1 if zero_init else 0)
+            + (1 if add_corr else 0))
     fields = [jnp.where(exists, r[:], zero) for r in refs[:n_in]]
     if zero_init:
         fields = [jnp.zeros_like(fields[0])] + fields
+    if add_corr:
+        fields[0] = fields[0] + fields[1]
+        del fields[1]
     if cn is None:
         u, rhs, aa, bb, cc, dd = fields
     else:
@@ -212,11 +219,15 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nsweeps", "diag_a", "want_residual", "cn", "zero_init"),
+    static_argnames=(
+        "nsweeps", "diag_a", "want_residual", "cn", "zero_init", "add_corr",
+    ),
 )
-def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False):
-    # arrays: (u, rhs, fields...) — or (rhs, fields...) with zero_init —
-    # where fields = (aa, bb, cc, dd) precomputed or (v1, v2) with cn set
+def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False,
+           add_corr=False):
+    # arrays: (u, [corr,] rhs, fields...) — or (rhs, fields...) with
+    # zero_init — where fields = (aa, bb, cc, dd) precomputed or (v1, v2)
+    # with cn set
     rows, cols = arrays[0].shape
     h = _halo(nsweeps)
     n_in = len(arrays)
@@ -248,7 +259,8 @@ def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False):
 
     return pl.pallas_call(
         functools.partial(
-            _kernel, nsweeps, bh, h, rows, diag_a, want_residual, cn, zero_init
+            _kernel, nsweeps, bh, h, rows, diag_a, want_residual, cn,
+            zero_init, add_corr,
         ),
         grid=(grid,),
         in_specs=[in_spec] * n_in,
@@ -260,7 +272,7 @@ def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False):
 
 
 def fused_rb_sweeps(level, u, rhs, nsweeps: int, want_residual: bool = False,
-                    zero_init: bool = False):
+                    zero_init: bool = False, corr=None):
     """`nsweeps` red–black GS sweeps (+ optional trailing residual) in one
     fused HBM pass.  Drop-in replacement for `nsweeps` calls of
     ops/padded.py::rb_gauss_seidel (+ one residual); see tests/test_pallas.py
@@ -273,7 +285,13 @@ def fused_rb_sweeps(level, u, rhs, nsweeps: int, want_residual: bool = False,
 
     `zero_init=True` declares u == 0 (correction solves, delta openings):
     the u window is dropped from the kernel inputs entirely, and `u` may be
-    passed as None."""
+    passed as None.
+
+    `corr` (mutually exclusive with zero_init): smooth from the iterate
+    u + corr — the prolonged coarse-grid correction is added in-kernel, so
+    the separate add pass (read u + read corr + write sum + re-read by the
+    smoother) collapses into the smoother's own window reads."""
+    assert not (zero_init and corr is not None)
     if getattr(level, "cn_from_v", False):
         cn = (
             0.5 * level.dt / (level.h * level.h),
@@ -285,9 +303,15 @@ def fused_rb_sweeps(level, u, rhs, nsweeps: int, want_residual: bool = False,
     else:
         cn = None
         fields = (level.aa, level.bb, level.cc, level.dd)
-    arrays = (rhs, *fields) if zero_init else (u, rhs, *fields)
+    if zero_init:
+        arrays = (rhs, *fields)
+    elif corr is not None:
+        arrays = (u, corr, rhs, *fields)
+    else:
+        arrays = (u, rhs, *fields)
     out = _fused(
         *arrays, nsweeps=nsweeps, diag_a=level.diag_a,
         want_residual=want_residual, cn=cn, zero_init=zero_init,
+        add_corr=corr is not None,
     )
     return out if want_residual else (out, None)

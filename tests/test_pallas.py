@@ -227,3 +227,17 @@ def test_vmem_working_set_guard():
     psm._assert_vmem_fit(
         psm._pick_band(4104, 4224, 4, 8), 4224, 4, 8, n_in=4, n_out=2
     )
+
+
+def test_add_corr_matches_explicit_add():
+    """corr= (in-kernel u+corr before the cascade, the fused prolong-add of
+    SURVEY §7.3c) is bit-identical to adding first and calling the plain
+    kernel."""
+    level, u, rhs = _setup(64, jnp.float64)
+    corr = 0.1 * rhs
+    want_u, want_r = psm.fused_rb_sweeps(level, u + corr, rhs, 3,
+                                         want_residual=True)
+    got_u, got_r = psm.fused_rb_sweeps(level, u, rhs, 3, want_residual=True,
+                                       corr=corr)
+    np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
