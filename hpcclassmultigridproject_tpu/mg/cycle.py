@@ -51,6 +51,12 @@ def _get_smoother(cfg: SolverConfig):
 # XLA's fusion of the 6-color-pass jnp form falls apart) — so no floor.
 _AUTO_PALLAS_MIN_N = 0
 
+# Fold the prolonged coarse correction into the post-smooth kernel's window
+# reads (fused_rb_sweeps(corr=...)) instead of a separate u+corr add pass.
+# Bit-identical to add-then-smooth (tests/test_pallas.py); A/B'd on-chip by
+# scripts/ab_fusecorr_tpu.py (RESULTS.md round 3).  Trace-time flag.
+_FUSE_CORR = True
+
 
 def _pallas_backend_ok(cfg: SolverConfig, level: Level) -> bool:
     """Backend/dtype/hardware gate shared by the single-device and sharded
@@ -122,7 +128,7 @@ def _pallas_sharded_eligible(cfg: SolverConfig, level: Level, sharding) -> bool:
 
 def _smooth_block(cfg: SolverConfig, level: Level, u, rhs, nsweeps: int,
                   want_residual: bool, sharding=None,
-                  u_is_zero: bool = False):
+                  u_is_zero: bool = False, corr=None):
     """`nsweeps` smoother sweeps, optionally fused with the trailing residual.
 
     backend "pallas" routes red–black GS through the fused Pallas kernel
@@ -145,10 +151,19 @@ def _smooth_block(cfg: SolverConfig, level: Level, u, rhs, nsweeps: int,
     if _pallas_eligible(cfg, level, sharded):
         from hpcclassmultigridproject_tpu.ops.pallas.smoother import fused_rb_sweeps
 
+        if corr is not None and _FUSE_CORR:
+            # post-smooth after coarse correction: fold u+corr into the
+            # kernel's own window reads (no separate add pass)
+            return fused_rb_sweeps(level, u, rhs, nsweeps, want_residual,
+                                   corr=corr)
+        if corr is not None:
+            u = u + corr
         # u_is_zero: skip materializing+reading the zeros iterate (every
         # correction solve and delta opening starts from zero)
         return fused_rb_sweeps(level, u, rhs, nsweeps, want_residual,
                                zero_init=u_is_zero)
+    if corr is not None:
+        u = u + corr
     if sharded and _pallas_sharded_eligible(cfg, level, sharding):
         from hpcclassmultigridproject_tpu.parallel.pallas_halo import (
             fused_smooth_sharded,
@@ -261,11 +276,12 @@ def mg_cycle(
             u_c = jnp.zeros_like(rhs_c)
             u_c = mg_cycle(levels, u_c, rhs_c, cfg, lvl + 1, shardings,
                            u_is_zero=True)
-            u = u + _constrain(prolong_bilinear(u_c, level.padded), shard)
+            corr = _constrain(prolong_bilinear(u_c, level.padded), shard)
             u, res = _smooth_block(
                 cfg, level, u, rhs, cfg.niter,
                 want_final_residual and last_pass,
                 sharding=shard if sharded else None,
+                corr=corr,
             )
     if want_final_residual:
         return u, res

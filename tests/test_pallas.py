@@ -241,3 +241,26 @@ def test_add_corr_matches_explicit_add():
                                        corr=corr)
     np.testing.assert_array_equal(np.asarray(got_u), np.asarray(want_u))
     np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
+
+
+def test_cycle_fuse_corr_flag_is_bit_exact():
+    """The _FUSE_CORR cycle wiring (fold the prolonged correction into the
+    post-smooth kernel) must be bit-identical to add-then-smooth on the full
+    timestepped solve — the invariant scripts/ab_fusecorr_tpu.py relies on
+    when it compares only timings."""
+    from hpcclassmultigridproject_tpu import ProblemConfig, SolverConfig
+    from hpcclassmultigridproject_tpu.mg import cycle as cyc
+    from hpcclassmultigridproject_tpu.models import AdvectionDiffusion
+
+    p = ProblemConfig(n=32, num_steps=2)
+    kw = dict(dtype=jnp.float32, cycle_mode="fixed", num_cycles=1,
+              coarse_mode="dense", num_levels=2, backend="pallas")
+    old = cyc._FUSE_CORR
+    try:
+        cyc._FUSE_CORR = True
+        uT_fused, _ = AdvectionDiffusion(p, SolverConfig(**kw)).run(warn=False)
+        cyc._FUSE_CORR = False
+        uT_plain, _ = AdvectionDiffusion(p, SolverConfig(**kw)).run(warn=False)
+    finally:
+        cyc._FUSE_CORR = old
+    np.testing.assert_array_equal(np.asarray(uT_fused), np.asarray(uT_plain))
