@@ -65,6 +65,11 @@ from hpcclassmultigridproject_tpu.ops.padded import (
     residual,
 )
 
+# Trace-time knob: route the accumulate+opening through the fused Pallas
+# kernel (ops/pallas/delta_step.py) when eligible.  Module-level for A/B
+# bisection (scripts, RESULTS.md round 3 fault hunt).
+_FUSE_OPEN = True
+
 
 def _dform(x):
     """Cancellation-free building blocks of (B−A)x: the 5-point Laplacian
@@ -160,7 +165,8 @@ def timestepper_delta(
 
     sharded = shardings is not None and len(shardings[0].spec) > 0
     use_fused_open = (
-        _pallas_eligible(cfg, fine, sharded)
+        _FUSE_OPEN
+        and _pallas_eligible(cfg, fine, sharded)
         and getattr(fine, "cn_from_v", False)
     )
 

@@ -105,8 +105,10 @@ def _kernel(bh, total_rows, cn, *refs):
 @functools.partial(jax.jit, static_argnames=("cn",))
 def _fused_open(hi, lo, d, v1, v2, *, cn):
     rows, cols = hi.shape
-    bh = _sm._pick_band(rows, cols, hi.dtype.itemsize, H, n_windows=8)
-    _sm._assert_vmem_fit(bh, cols, hi.dtype.itemsize, H, n_in=5, n_out=3)
+    bh = _sm._pick_band(rows, cols, hi.dtype.itemsize, H, n_windows=8,
+                        n_in=5, n_out=3)
+    footprint = _sm._assert_vmem_fit(bh, cols, hi.dtype.itemsize, H,
+                                     n_in=5, n_out=3)
     grid = pl.cdiv(rows, bh)
 
     in_spec = pl.BlockSpec(
@@ -130,7 +132,7 @@ def _fused_open(hi, lo, d, v1, v2, *, cn):
         out_specs=(out_spec,) * 3,
         out_shape=(s, s, s),
         interpret=_sm.INTERPRET,
-        compiler_params=_sm._compiler_params(),
+        compiler_params=_sm._compiler_params(footprint),
     )(hi, lo, d, v1, v2)
 
 

@@ -43,38 +43,66 @@ from jax.experimental.pallas import tpu as pltpu
 # Flip for CPU-based testing of the kernel (tests/test_pallas.py).
 INTERPRET = False
 
-# Input-window working-set target; the chip exposes 16 MiB of scoped VMEM to
-# the kernel by default and the true footprint is ~(2x double-buffered
-# windows + kernel temporaries + 2x outputs).  Swept on-chip (RESULTS.md):
-# taller bands cut the h-row halo recompute overhead (n=2048 blocks improved
-# ~2x over the 3 MB setting), but 6 MB intermittently exceeds the 16 MB
-# scoped-vmem limit (21.2 M observed) — 4 MB is the largest always-safe
-# setting.  Round 2 ended by blind-raising this to 32 MB + a 100 MB
-# vmem_limit_bytes override, which FAULTED THE CHIP (BENCH_r02 rc=1): any
-# future retune must pass scripts/smoke_tpu.py on hardware first, and
-# _assert_vmem_fit below now rejects budgets whose modeled working set
-# exceeds the scoped-VMEM cap at trace time instead of as a kernel fault.
-_VMEM_BUDGET = 4 * 1024 * 1024
+# Input-window working-set target; the true footprint is ~(2x double-
+# buffered windows + kernel temporaries + 2x outputs) and is checked against
+# _VMEM_LIMIT by _assert_vmem_fit at trace time.  History: round 2 swept
+# 3→4→6 MB on-chip (6 MB intermittently exceeded the 16 MB Mosaic cap),
+# then ended by blind-raising to 32 MB + a 100 MB vmem_limit_bytes override,
+# which FAULTED THE CHIP (BENCH_r02 rc=1) — at limits near the 128 MiB
+# physical VMEM the compile-time check passes but the hardware faults.
+# Round 3 probed the (budget, limit) plane per-config-per-process on the
+# v5e at n=4096 (scripts/band_probe_tpu.py → bench_data/band_probe.jsonl):
+#   4/16 MB bh=24: 44.0 GDOF/s     12/48 MB bh=104: 75.1 GDOF/s  <- winner
+#   8/32 MB bh=64: 53.0 GDOF/s     15/56 MB bh=136: 57.3 GDOF/s
+#                                  16/64 MB bh=144: 56.9 GDOF/s
+# (non-monotone: past ~104 rows the deeper scoped allocation costs more
+# than the halo-recompute saving).  Every config whose calibrated footprint
+# exceeded its limit failed CLEANLY at AOT compile ("Ran out of memory in
+# memory space vmem ... on stack").
+#
+# BUT deep bands only pay off on WIDE rows: at n=2048 the same 12/48 config
+# (bh=224) measured 55 GDOF/s vs the proven 4 MB config's 81.7 (bh=40), and
+# the FULL delta program faulted the worker at runtime with it (each kernel
+# compiled clean in isolation — the fault is whole-program VMEM pressure
+# from several deep-window kernels, reproduced + bisected to the deep-band
+# geometry, /tmp fault hunt → RESULTS.md round 3).  Policy, all measured:
+# narrow rows (< _WIDE_ROW_BYTES) keep the round-2-proven 4 MB budget and
+# Mosaic's default 16 MiB cap; wide rows (n≥4096) get the probed 12 MB
+# winner under a 48 MB cap.  Changing any of these still requires
+# scripts/smoke_tpu.py on hardware.
+_VMEM_BUDGET = 12 * 1024 * 1024
+_NARROW_BUDGET = 4 * 1024 * 1024
+_WIDE_ROW_BYTES = 16000  # cols*itemsize at n=4096 is 16896; n=2048 is 8704
 
-# Scoped-VMEM cap the working-set assertion checks against.  At the default
-# (= XLA's own Mosaic cap) no CompilerParams override is emitted; an
-# experiment that raises it (scripts/band sweeps) gets an explicit
-# vmem_limit_bytes AND the matching trace-time assertion — but a raised cap
-# may only become the default together with an on-chip stress run
-# (scripts/smoke_tpu.py).
-_VMEM_LIMIT = 16 * 1024 * 1024
+# Scoped-VMEM cap the working-set assertion checks against.  An explicit
+# vmem_limit_bytes is emitted per kernel ONLY when that kernel's modeled
+# footprint exceeds Mosaic's builtin 16 MiB default; narrow-row kernels
+# stay under the builtin cap and carry no override.
+_VMEM_LIMIT = 48 * 1024 * 1024
 _DEFAULT_VMEM_LIMIT = 16 * 1024 * 1024
 
 
-def _compiler_params():
+def _budget_for(row_bytes: int) -> int:
+    if row_bytes >= _WIDE_ROW_BYTES:
+        return _VMEM_BUDGET
+    return min(_VMEM_BUDGET, _NARROW_BUDGET)
+
+
+def _compiler_params(footprint: int | None = None):
+    if footprint is not None and footprint <= _DEFAULT_VMEM_LIMIT:
+        return None
     if _VMEM_LIMIT == _DEFAULT_VMEM_LIMIT:
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
-# Empirical allowance for Mosaic kernel temporaries, in input-window units
-# (the sweep cascade keeps ~4 live window-sized intermediates: u, upd, the
-# color/validity masks and the nb() accumulator).
-_TEMP_WINDOWS = 4
+# Empirical allowance for Mosaic kernel temporaries, in input-window units.
+# Calibrated against the AOT compiler's own scoped-allocation reports (round
+# 3, n=4096 from_v kernel, /tmp band sweep → bench_data/band_probe.jsonl):
+# actual stack = 41.39 M @ bh=104, 55.58 M @ bh=144, 69.76 M @ bh=184, i.e.
+# actual − (2·n_in·win + 2·n_out·band) ≈ 9 windows at every point (the sweep
+# cascade's live intermediates: u, upd, masks, the four recomputed
+# coefficient planes and the nb() accumulator).
+_TEMP_WINDOWS = 9
 
 
 def _halo(nsweeps: int) -> int:
@@ -83,16 +111,24 @@ def _halo(nsweeps: int) -> int:
     return -(-(2 * nsweeps + 1) // 8) * 8
 
 
-def _assert_vmem_fit(bh: int, cols: int, itemsize: int, h: int,
-                     n_in: int, n_out: int) -> None:
-    """Trace-time guard (VERDICT r2 #1): the modeled pipeline working set —
-    2x double-buffered input windows of (bh+2h) rows, 2x double-buffered
-    output bands, plus the temporary allowance — must fit the scoped-VMEM
-    cap.  A bad _VMEM_BUDGET now fails here with a readable error instead of
-    faulting the TPU worker at run time."""
+def _footprint(bh: int, cols: int, itemsize: int, h: int,
+               n_in: int, n_out: int) -> int:
+    """Calibrated working-set model: 2x double-buffered input windows of
+    (bh+2h) rows, 2x double-buffered output bands, plus the temporary
+    allowance (see _TEMP_WINDOWS calibration note)."""
     win = (bh + 2 * h) * cols * itemsize
     band = bh * cols * itemsize
-    footprint = 2 * n_in * win + 2 * n_out * band + _TEMP_WINDOWS * win
+    return 2 * n_in * win + 2 * n_out * band + _TEMP_WINDOWS * win
+
+
+def _assert_vmem_fit(bh: int, cols: int, itemsize: int, h: int,
+                     n_in: int, n_out: int) -> int:
+    """Trace-time guard (VERDICT r2 #1): the modeled working set must fit
+    the scoped-VMEM cap.  A bad _VMEM_BUDGET now fails here with a readable
+    error instead of faulting the TPU worker at run time.  Returns the
+    modeled footprint (used to decide whether a vmem_limit_bytes override
+    is emitted at all)."""
+    footprint = _footprint(bh, cols, itemsize, h, n_in, n_out)
     if footprint > _VMEM_LIMIT:
         raise ValueError(
             f"fused-smoother band working set {footprint / 2**20:.1f} MiB "
@@ -101,23 +137,34 @@ def _assert_vmem_fit(bh: int, cols: int, itemsize: int, h: int,
             " MiB scoped-VMEM cap; lower _VMEM_BUDGET (or validate a raised "
             "cap on hardware with scripts/smoke_tpu.py first)"
         )
+    return footprint
 
 
 def _pick_band(rows: int, cols: int, itemsize: int, h: int,
-               n_windows: int = 6) -> int:
+               n_windows: int = 6, n_in: int | None = None,
+               n_out: int | None = None) -> int:
     """Largest multiple-of-8 band height whose `n_windows` input-window rows
     fit the VMEM budget.  The fixed window-count proxy (6 for the smoother,
-    8 for the delta opening) is the round-2 on-chip-proven heuristic — its
-    real double-buffered footprint is checked by _assert_vmem_fit at the
-    call sites."""
+    8 for the delta opening) is the on-chip-proven geometry heuristic; when
+    the caller supplies its true (n_in, n_out), the band is additionally
+    capped so the CALIBRATED footprint model (_assert_vmem_fit's
+    2·n_in·win + 2·n_out·band + _TEMP_WINDOWS·win) fits _VMEM_LIMIT — so a
+    raised budget can never produce a geometry the compiler would reject."""
     per_row = n_windows * cols * itemsize
-    bh = (_VMEM_BUDGET // per_row - 2 * h) // 8 * 8
+    bh = (_budget_for(cols * itemsize) // per_row - 2 * h) // 8 * 8
     bh = max(8, min(bh, -(-rows // 8) * 8))
+    if n_in is not None and n_out is not None:
+        # solve 2·n_in·(bh+2h)·c·e + 2·n_out·bh·c·e + T·(bh+2h)·c·e <= LIMIT
+        ce = cols * itemsize
+        row_coef = 2 * n_in + 2 * n_out + _TEMP_WINDOWS
+        const = 2 * h * (2 * n_in + _TEMP_WINDOWS)
+        cap = (_VMEM_LIMIT // ce - const) // row_coef // 8 * 8
+        bh = max(8, min(bh, cap))
     return bh
 
 
 def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
-            add_corr, *refs):
+            add_corr, with_row_off, *refs):
     # refs: with cn=None, (u, rhs, aa, bb, cc, dd) windows of shape
     # (bh+2h, cols); with cn=(rr, half_h, nu, n), (u, rhs, v1, v2) windows
     # and the CN coefficients are recomputed in-kernel (the reference's own
@@ -150,6 +197,10 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
     zero = dtype.type(0)
     n_in = ((6 if cn is None else 4) - (1 if zero_init else 0)
             + (1 if add_corr else 0))
+    # with_row_off (sharded use, parallel/pallas_halo.py): one trailing SMEM
+    # scalar holds the block's global row offset so the from_v interior mask
+    # works on a device-local extended block (local row + off = global row)
+    n_args = n_in + (1 if with_row_off else 0)
     fields = [jnp.where(exists, r[:], zero) for r in refs[:n_in]]
     if zero_init:
         fields = [jnp.zeros_like(fields[0])] + fields
@@ -169,7 +220,8 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
         # mg/levels.py::_np_cn_coefficients for f64 bit-parity in tests
         one_i = jnp.int32(1)
         nm1 = jnp.int32(n_c - 1)
-        interior = ((g >= one_i) & (g <= nm1)
+        g_mask = g + refs[n_in][0, 0] if with_row_off else g
+        interior = ((g_mask >= one_i) & (g_mask <= nm1)
                     & (c_idx >= one_i) & (c_idx <= nm1))
         mask = jnp.where(interior, dtype.type(1), zero)
         aa = rr * (-v2 * hh + nu) * mask
@@ -206,34 +258,38 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
 
     @pl.when(first)
     def _():
-        refs[n_in][:] = u[0:bh, :]
+        refs[n_args][:] = u[0:bh, :]
         if want_residual:
-            refs[n_in + 1][:] = res[0:bh, :]
+            refs[n_args + 1][:] = res[0:bh, :]
 
     @pl.when(jnp.logical_not(first))
     def _():
-        refs[n_in][:] = u[h:h + bh, :]
+        refs[n_args][:] = u[h:h + bh, :]
         if want_residual:
-            refs[n_in + 1][:] = res[h:h + bh, :]
+            refs[n_args + 1][:] = res[h:h + bh, :]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "nsweeps", "diag_a", "want_residual", "cn", "zero_init", "add_corr",
+        "with_row_off",
     ),
 )
 def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False,
-           add_corr=False):
+           add_corr=False, with_row_off=False):
     # arrays: (u, [corr,] rhs, fields...) — or (rhs, fields...) with
     # zero_init — where fields = (aa, bb, cc, dd) precomputed or (v1, v2)
-    # with cn set
+    # with cn set.  With with_row_off, one trailing (1, 1) i32 array holds
+    # the block's global row offset (sharded use, parallel/pallas_halo.py).
     rows, cols = arrays[0].shape
     h = _halo(nsweeps)
-    n_in = len(arrays)
-    bh = _pick_band(rows, cols, arrays[0].dtype.itemsize, h)
-    _assert_vmem_fit(bh, cols, arrays[0].dtype.itemsize, h,
-                     n_in=n_in, n_out=2 if want_residual else 1)
+    n_win = len(arrays) - (1 if with_row_off else 0)
+    n_out = 2 if want_residual else 1
+    bh = _pick_band(rows, cols, arrays[0].dtype.itemsize, h,
+                    n_in=n_win, n_out=n_out)
+    footprint = _assert_vmem_fit(bh, cols, arrays[0].dtype.itemsize, h,
+                                 n_in=n_win, n_out=n_out)
     grid = pl.cdiv(rows, bh)
 
     # overlapping element-offset windows: rows [max(i*bh-h, 0), +bh+2h)
@@ -257,17 +313,22 @@ def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False,
         out_shape = (out_shape, jax.ShapeDtypeStruct(arrays[0].shape, arrays[0].dtype))
         out_spec = (out_spec, out_spec)
 
+    in_specs = [in_spec] * n_win
+    if with_row_off:
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.SMEM)
+        )
     return pl.pallas_call(
         functools.partial(
             _kernel, nsweeps, bh, h, rows, diag_a, want_residual, cn,
-            zero_init, add_corr,
+            zero_init, add_corr, with_row_off,
         ),
         grid=(grid,),
-        in_specs=[in_spec] * n_in,
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=INTERPRET,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(footprint),
     )(*arrays)
 
 

@@ -113,7 +113,22 @@ def fused_smooth_sharded(
             f"cascade depth 2*{h}; use fewer devices or the GSPMD path"
         )
     pad = lambda a: jnp.pad(a, ((0, rows_p - rows), (0, 0)))
-    fields = (level.aa, level.bb, level.cc, level.dd)
+    if getattr(level, "cn_from_v", False):
+        # from_v kernel: exchange (u, rhs, v1, v2) halos instead of
+        # (u, rhs, aa, bb, cc, dd) — 1/3 less ICI per block and the
+        # measured 25-30% HBM saving of the recomputed-coefficient form.
+        # The kernel's interior mask needs GLOBAL row indices, supplied per
+        # device via the row_off SMEM scalar (smoother.py::with_row_off).
+        cn = (
+            0.5 * level.dt / (level.h * level.h),
+            0.5 * level.h,
+            level.nu,
+            level.n,
+        )
+        fields = (level.v1, level.v2)
+    else:
+        cn = None
+        fields = (level.aa, level.bb, level.cc, level.dd)
     args = (rhs, *fields) if zero_init else (u, rhs, *fields)
     args = tuple(pad(a) for a in args)
 
@@ -139,13 +154,21 @@ def fused_smooth_sharded(
             top = jax.lax.ppermute(b[-h:, :], axes, fwd)  # prev block's tail
             bot = jax.lax.ppermute(b[:h, :], axes, bwd)   # next block's head
             ext.append(jnp.concatenate([top, b, bot], axis=0))
+        if cn is not None:
+            # extended-block row 0 is global row (dev*local - h)
+            dev = jax.lax.axis_index(axes)
+            ext.append(
+                (dev.astype(jnp.int32) * jnp.int32(local) - jnp.int32(h)
+                 ).reshape(1, 1)
+            )
         out = _fused(
             *ext,
             nsweeps=nsweeps,
             diag_a=level.diag_a,
             want_residual=want_residual,
-            cn=None,
+            cn=cn,
             zero_init=zero_init,
+            with_row_off=cn is not None,
         )
         if want_residual:
             u_e, r_e = out

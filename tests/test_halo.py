@@ -207,3 +207,29 @@ def test_rows_layout_thin_slab_falls_back_to_jnp():
     np.testing.assert_allclose(
         np.asarray(uT_dist), np.asarray(uT_single), rtol=0, atol=1e-12
     )
+
+
+@pytest.mark.slow
+def test_fused_sharded_from_v_matches_precomputed():
+    """The sharded from_v kernel (row_off SMEM scalar supplies GLOBAL row
+    indices to the interior mask) must agree with the sharded
+    precomputed-coefficient path, whose mask lives in the aa..dd data —
+    pinning the per-device offset arithmetic at both grid edges."""
+    import dataclasses
+
+    from hpcclassmultigridproject_tpu.parallel.pallas_halo import (
+        fused_smooth_sharded,
+    )
+
+    psm, level, u, rhs = _rows_setup(128)
+    assert level.cn_from_v
+    level_pre = dataclasses.replace(level, cn_from_v=False)
+    mesh = make_mesh()
+    got_u, got_r = fused_smooth_sharded(mesh, level, u, rhs, 3,
+                                        want_residual=True)
+    want_u, want_r = fused_smooth_sharded(mesh, level_pre, u, rhs, 3,
+                                          want_residual=True)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               rtol=1e-13, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               rtol=0, atol=1e-13)

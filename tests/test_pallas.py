@@ -219,9 +219,9 @@ def test_vmem_working_set_guard():
     """_assert_vmem_fit rejects band geometries whose modeled working set
     exceeds the scoped-VMEM cap at trace time (the round-2 fault was a
     32 MB budget shipped blind — it must now fail in Python, not on-chip)."""
-    with pytest.raises(ValueError, match="exceeds the 16 MiB scoped-VMEM"):
+    with pytest.raises(ValueError, match="exceeds the 48 MiB scoped-VMEM"):
         # bh sized as the old bad config would have: ~592 rows of 4608-lane
-        # f32 windows is far beyond 16 MiB
+        # f32 windows is far beyond the cap
         psm._assert_vmem_fit(592, 4608, 4, 8, n_in=4, n_out=2)
     # the proven default config fits
     psm._assert_vmem_fit(
