@@ -264,3 +264,23 @@ def test_cycle_fuse_corr_flag_is_bit_exact():
     finally:
         cyc._FUSE_CORR = old
     np.testing.assert_array_equal(np.asarray(uT_fused), np.asarray(uT_plain))
+
+
+def test_band_policy_row_width_dependent():
+    """The VMEM band policy (RESULTS.md round-3 fault hunt): narrow rows
+    keep the round-2-proven geometries under the stock Mosaic cap (no
+    vmem_limit_bytes override), wide rows get the probed deep-band winner
+    under the raised cap."""
+    # proven geometries, bit-stable across rounds
+    assert psm._pick_band(1032, 1152, 4, 8, n_in=4, n_out=2) == 128
+    assert psm._pick_band(2056, 2176, 4, 8, n_in=4, n_out=2) == 64
+    assert psm._pick_band(4104, 4224, 4, 8, n_in=4, n_out=2) == 104
+    # narrow-row kernels stay under the stock cap -> no override emitted
+    fp = psm._footprint(64, 2176, 4, 8, n_in=5, n_out=2)
+    assert fp <= psm._DEFAULT_VMEM_LIMIT
+    assert psm._compiler_params(fp) is None
+    # wide-row kernels carry the raised cap
+    fp = psm._footprint(104, 4224, 4, 8, n_in=4, n_out=2)
+    assert fp > psm._DEFAULT_VMEM_LIMIT
+    params = psm._compiler_params(fp)
+    assert params is not None and fp <= psm._VMEM_LIMIT
