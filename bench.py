@@ -66,6 +66,11 @@ def main():
             num_cycles=1,
             coarse_mode="dense",
             delta_form=True,
+            # rigorous (f64-operator) certification every 10th step, in
+            # addition to the per-step f32 delta certificates and the final
+            # f64 epilogue — the timed runs INCLUDE its cost (measured ~1%,
+            # RESULTS.md round 4)
+            certify_every=10,
         ),
     )
     run_once(model)  # compile + warm up
@@ -78,6 +83,10 @@ def main():
     secs = min(times)
     center = float(uT[512, 512])
     max_rel = float(np.asarray(stats["rel_residual"]).max())
+    # mid-run rigorous certificates (every 10th step, f64 operator): -1
+    # marks uncertified steps, so take the max over the certified ones
+    rels_hi = np.asarray(stats["rel_residual_hi_steps"])
+    max_rel_hi = float(rels_hi[rels_hi >= 0].max())
     result = {
         "metric": "full_run_n1024_100steps",
         "value": round(secs, 4),
@@ -86,13 +95,17 @@ def main():
         "detail": {
             "device": str(jax.devices()[0]),
             "config": "delta-form f32 steps + f32-pair state, pallas from_v "
-                      "smoother (auto), fixed 1 cycle/step, dense coarse",
+                      "smoother (auto), fixed 1 cycle/step, dense coarse, "
+                      "rigorous f64 certificate every 10th step",
             "center_uT": center,
             "max_rel_residual": max_rel,
+            "max_rel_residual_f64_certified_steps": max_rel_hi,
             "final_rel_residual_f64": float(
                 np.asarray(stats["final_rel_residual_hi"])
             ),
-            "meets_reference_tol_1e-6": max_rel <= REFERENCE_TOL,
+            "meets_reference_tol_1e-6": (
+                max_rel <= REFERENCE_TOL and max_rel_hi <= REFERENCE_TOL
+            ),
             "baseline": "strong_scale.txt:8 (8-thread OMP, 6.57 s)",
         },
     }

@@ -91,6 +91,15 @@ class SolverConfig:
                                       # accumulate u += δ in `refine_dtype` — zero
                                       # high-precision stencil work per step; requires
                                       # refine_dtype set and cycle_mode="fixed"
+    sharded_overlap: bool = False     # rows-sharded fused smoothing: hide the
+                                      # deep-halo ICI round behind the halo-
+                                      # independent interior kernel (three
+                                      # pallas launches — interior + two edge
+                                      # slabs — instead of one; pays ~4·halo
+                                      # rows of redundant compute to take the
+                                      # exchange latency off the critical
+                                      # path; parallel/pallas_halo.py and the
+                                      # ICI model in RESULTS.md round 4)
     certify_every: int = 0            # delta mode: every k-th step additionally
                                       # recomputes the step's TRUE residual in
                                       # refine_dtype inside the scan (one emulated-

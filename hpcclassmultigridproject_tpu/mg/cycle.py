@@ -171,7 +171,7 @@ def _smooth_block(cfg: SolverConfig, level: Level, u, rhs, nsweeps: int,
 
         return fused_smooth_sharded(
             sharding.mesh, level, u, rhs, nsweeps, want_residual,
-            zero_init=u_is_zero,
+            zero_init=u_is_zero, overlap=cfg.sharded_overlap,
         )
     smoother = _get_smoother(cfg)
     for _ in range(nsweeps):

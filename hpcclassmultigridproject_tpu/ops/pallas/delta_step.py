@@ -139,6 +139,12 @@ def _fused_open(hi, lo, d, v1, v2, *, cn):
 def fused_accumulate_open(level, hi, lo, d):
     """Accumulate the pending correction into the (hi, lo) state pair and
     compute the next delta rhs, all in one banded HBM pass.  5-point CN
-    levels with velocity fields only (level.cn_from_v)."""
-    cn = (0.5 * level.dt / (level.h * level.h), level.h, level.nu, level.n)
-    return _fused_open(hi, lo, d, level.v1, level.v2, cn=cn)
+    levels with velocity fields only (level.cn_from_v).
+
+    The rr factor comes from the shared smoother.cn_params helper (ADVICE
+    r3 #4 — one source for the jit-cache-keyed coefficient constants); this
+    kernel's difference form needs the FULL h (r·h·v terms, mg/delta.py),
+    not cn_params' half_h."""
+    rr, _, nu, n = _sm.cn_params(level)
+    return _fused_open(hi, lo, d, level.v1, level.v2,
+                       cn=(rr, level.h, nu, n))

@@ -88,6 +88,17 @@ def _budget_for(row_bytes: int) -> int:
     return min(_VMEM_BUDGET, _NARROW_BUDGET)
 
 
+def _limit_for(row_bytes: int) -> int:
+    """Scoped-VMEM cap the geometry must fit: narrow-row kernels carry no
+    vmem_limit_bytes override (ADVICE r3 #1 — capping them against the raised
+    _VMEM_LIMIT would silently re-enable the override and re-open the
+    whole-program VMEM pressure class), so their band is capped against the
+    no-override default budget."""
+    if row_bytes >= _WIDE_ROW_BYTES:
+        return _VMEM_LIMIT
+    return min(_VMEM_LIMIT, _DEFAULT_VMEM_LIMIT)
+
+
 def _compiler_params(footprint: int | None = None):
     if footprint is not None and footprint <= _DEFAULT_VMEM_LIMIT:
         return None
@@ -129,11 +140,12 @@ def _assert_vmem_fit(bh: int, cols: int, itemsize: int, h: int,
     modeled footprint (used to decide whether a vmem_limit_bytes override
     is emitted at all)."""
     footprint = _footprint(bh, cols, itemsize, h, n_in, n_out)
-    if footprint > _VMEM_LIMIT:
+    limit = _limit_for(cols * itemsize)
+    if footprint > limit:
         raise ValueError(
             f"fused-smoother band working set {footprint / 2**20:.1f} MiB "
             f"(bh={bh}, cols={cols}, {n_in} in / {n_out} out windows, "
-            f"+{_TEMP_WINDOWS} temporaries) exceeds the {_VMEM_LIMIT / 2**20:.0f}"
+            f"+{_TEMP_WINDOWS} temporaries) exceeds the {limit / 2**20:.0f}"
             " MiB scoped-VMEM cap; lower _VMEM_BUDGET (or validate a raised "
             "cap on hardware with scripts/smoke_tpu.py first)"
         )
@@ -155,10 +167,12 @@ def _pick_band(rows: int, cols: int, itemsize: int, h: int,
     bh = max(8, min(bh, -(-rows // 8) * 8))
     if n_in is not None and n_out is not None:
         # solve 2·n_in·(bh+2h)·c·e + 2·n_out·bh·c·e + T·(bh+2h)·c·e <= LIMIT
+        # (the row-width-dependent limit: narrow rows are capped against the
+        # no-override default so they never earn a vmem_limit_bytes override)
         ce = cols * itemsize
         row_coef = 2 * n_in + 2 * n_out + _TEMP_WINDOWS
         const = 2 * h * (2 * n_in + _TEMP_WINDOWS)
-        cap = (_VMEM_LIMIT // ce - const) // row_coef // 8 * 8
+        cap = (_limit_for(ce) // ce - const) // row_coef // 8 * 8
         bh = max(8, min(bh, cap))
     return bh
 
@@ -332,6 +346,22 @@ def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False,
     )(*arrays)
 
 
+def cn_params(level) -> tuple[float, float, float, int]:
+    """Static (rr, half_h, nu, n) tuple for in-kernel CN coefficient
+    recompute (gs.cpp:9-20: rr = dt/(2h²), half_h = h/2).  The SINGLE
+    source for every from_v kernel call site — the tuple is a jit-cache key,
+    so the single-device (fused_rb_sweeps), sharded (parallel/pallas_halo.py)
+    and delta-opening (delta_step.py) paths must build it identically or a
+    float drift silently desynchronizes them and forces recompiles
+    (ADVICE r3 #4)."""
+    return (
+        0.5 * level.dt / (level.h * level.h),
+        0.5 * level.h,
+        level.nu,
+        level.n,
+    )
+
+
 def fused_rb_sweeps(level, u, rhs, nsweeps: int, want_residual: bool = False,
                     zero_init: bool = False, corr=None):
     """`nsweeps` red–black GS sweeps (+ optional trailing residual) in one
@@ -354,12 +384,7 @@ def fused_rb_sweeps(level, u, rhs, nsweeps: int, want_residual: bool = False,
     smoother) collapses into the smoother's own window reads."""
     assert not (zero_init and corr is not None)
     if getattr(level, "cn_from_v", False):
-        cn = (
-            0.5 * level.dt / (level.h * level.h),
-            0.5 * level.h,
-            level.nu,
-            level.n,
-        )
+        cn = cn_params(level)
         fields = (level.v1, level.v2)
     else:
         cn = None

@@ -50,7 +50,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from hpcclassmultigridproject_tpu.ops.pallas.smoother import _fused, _halo
+from hpcclassmultigridproject_tpu.ops.pallas.smoother import (
+    _fused,
+    _halo,
+    cn_params,
+)
 
 
 def rows_spec(mesh: Mesh) -> P:
@@ -83,6 +87,7 @@ def fused_smooth_sharded(
     nsweeps: int,
     want_residual: bool = False,
     zero_init: bool = False,
+    overlap: bool = False,
 ):
     """`nsweeps` fused red–black sweeps (+ optional trailing residual) on a
     rows-sharded field: ONE deep-halo ppermute round, then the fused Pallas
@@ -95,6 +100,24 @@ def fused_smooth_sharded(
 
     `zero_init=True` (correction solves): the iterate is known-zero, so the
     u operand AND its halo exchange are dropped entirely.
+
+    `overlap=True` (VERDICT r3 weak #3 / SURVEY §7.6): take the exchange
+    round off the critical path.  The plain schedule serializes
+    exchange → kernel; the overlapped one launches the kernel on the RAW
+    local block first — its center rows [h, local−h) need no halo, so the
+    launch has no data dependency on the ppermutes and XLA schedules it
+    between collective-permute-start and -done — then patches the two
+    h-row edge bands with small kernel invocations on 3h-row slabs built
+    from the received halos.  Validity is the kernel's own band argument
+    applied per invocation: artificial-edge corruption propagates one row
+    per color pass, so after 2·nsweeps+1 ≤ h passes the extracted center
+    rows ([h, local−h) of the interior run, slab rows [h, 2h) of each edge
+    run) are schedule-exact.  Costs two extra kernel launches and ~4h rows
+    of redundant compute per block; wins when the ICI round's latency
+    exceeds that — the large-slab regime (see the ICI model, RESULTS.md
+    round 4).  Values agree with overlap=False to the kernel's
+    cross-geometry ulp contract (bit-exact in interpret mode,
+    tests/test_halo.py).
     """
     if level.diag is not None or level.ne is not None:
         raise NotImplementedError(
@@ -119,12 +142,8 @@ def fused_smooth_sharded(
         # measured 25-30% HBM saving of the recomputed-coefficient form.
         # The kernel's interior mask needs GLOBAL row indices, supplied per
         # device via the row_off SMEM scalar (smoother.py::with_row_off).
-        cn = (
-            0.5 * level.dt / (level.h * level.h),
-            0.5 * level.h,
-            level.nu,
-            level.n,
-        )
+        # cn_params is the shared jit-cache-keyed tuple (ADVICE r3 #4).
+        cn = cn_params(level)
         fields = (level.v1, level.v2)
     else:
         cn = None
@@ -136,17 +155,17 @@ def fused_smooth_sharded(
     bwd = [(i + 1, i) for i in range(ndev - 1)]
     spec = P(axes, None)
     n_out = 2 if want_residual else 1
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(spec,) * len(args),
-        out_specs=(spec,) * n_out if want_residual else spec,
-        # pallas_call's out_shape ShapeDtypeStructs carry no vma annotation;
-        # every operand/output here varies over all mesh axes by construction
-        check_vma=False,
+    kern = functools.partial(
+        _fused,
+        nsweeps=nsweeps,
+        diag_a=level.diag_a,
+        want_residual=want_residual,
+        cn=cn,
+        zero_init=zero_init,
+        with_row_off=cn is not None,
     )
-    def run(*blocks):
+
+    def run_plain(*blocks):
         # one batched deep-halo round: every ppermute below is independent,
         # so XLA schedules all of them concurrently
         ext = []
@@ -161,19 +180,62 @@ def fused_smooth_sharded(
                 (dev.astype(jnp.int32) * jnp.int32(local) - jnp.int32(h)
                  ).reshape(1, 1)
             )
-        out = _fused(
-            *ext,
-            nsweeps=nsweeps,
-            diag_a=level.diag_a,
-            want_residual=want_residual,
-            cn=cn,
-            zero_init=zero_init,
-            with_row_off=cn is not None,
-        )
+        out = kern(*ext)
         if want_residual:
             u_e, r_e = out
             return u_e[h : h + local, :], r_e[h : h + local, :]
         return out[h : h + local, :]
+
+    def run_overlap(*blocks):
+        # 1) issue the deep-halo exchanges first
+        tops = [jax.lax.ppermute(b[-h:, :], axes, fwd) for b in blocks]
+        bots = [jax.lax.ppermute(b[:h, :], axes, bwd) for b in blocks]
+        base = jax.lax.axis_index(axes).astype(jnp.int32) * jnp.int32(local)
+        off = lambda v: v.reshape(1, 1)
+        # 2) interior kernel on the RAW local block — no data dependency on
+        #    the ppermutes, so it schedules between permute-start and -done;
+        #    its center rows [h, local-h) are halo-independent and valid
+        int_args = list(blocks) + ([off(base)] if cn is not None else [])
+        out_i = kern(*int_args)
+        # 3) patch the two h-row edge bands: 3h-row slabs of (received halo
+        #    + 2h local rows); slab rows [h, 2h) are beyond both the real
+        #    halo's reach and the artificial far edge's corruption depth
+        top_args = [
+            jnp.concatenate([t, b[: 2 * h, :]], axis=0)
+            for t, b in zip(tops, blocks)
+        ]
+        bot_args = [
+            jnp.concatenate([b[-2 * h :, :], bo], axis=0)
+            for b, bo in zip(blocks, bots)
+        ]
+        if cn is not None:
+            top_args.append(off(base - jnp.int32(h)))
+            bot_args.append(off(base + jnp.int32(local - 2 * h)))
+        out_t = kern(*top_args)
+        out_b = kern(*bot_args)
+
+        def stitch(i, t, b):
+            return jnp.concatenate(
+                [t[h : 2 * h, :], i[h : local - h, :], b[h : 2 * h, :]],
+                axis=0,
+            )
+
+        if want_residual:
+            return (
+                stitch(out_i[0], out_t[0], out_b[0]),
+                stitch(out_i[1], out_t[1], out_b[1]),
+            )
+        return stitch(out_i, out_t, out_b)
+
+    run = functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(spec,) * len(args),
+        out_specs=(spec,) * n_out if want_residual else spec,
+        # pallas_call's out_shape ShapeDtypeStructs carry no vma annotation;
+        # every operand/output here varies over all mesh axes by construction
+        check_vma=False,
+    )(run_overlap if overlap else run_plain)
 
     out = run(*args)
     unpad = lambda a: a[:rows, :] if rows_p != rows else a

@@ -79,9 +79,13 @@ def _bytes_model(phase: str, level, itemsize: int, nsweeps: int,
 
             rows, cols = level.padded
             h = _halo(nsweeps)
-            bh = _pick_band(rows, cols, itemsize, h)
-            overhead = (bh + 2 * h) / bh
             n_in = 4 if getattr(level, "cn_from_v", False) else 6
+            # pass the kernel's true (n_in, n_out) so the modeled band
+            # height matches the calibrated-footprint cap the kernel itself
+            # applies (ADVICE r3 #3); the profiled smooth block runs
+            # want_residual=False -> 1 output
+            bh = _pick_band(rows, cols, itemsize, h, n_in=n_in, n_out=1)
+            overhead = (bh + 2 * h) / bh
             return (n_in * overhead + 1) * e * itemsize
         return nsweeps * (2 * (6 + 1)) * e * itemsize
     if phase in ("residual", "rhs"):
