@@ -57,6 +57,52 @@ _AUTO_PALLAS_MIN_N = 0
 # scripts/ab_fusecorr_tpu.py (RESULTS.md round 3).  Trace-time flag.
 _FUSE_CORR = True
 
+# Route the whole sub-cycle below ops/pallas/tower.py::TOWER_MAX_N through
+# the coarse-tower megakernel pair (descent + ascent Pallas programs around
+# the XLA dense coarse matmul) instead of ~25 per-level launches.
+# Trace-time flag for A/B bisection.
+_USE_TOWER = True
+
+
+def _tower_eligible(cfg: SolverConfig, levels, lvl: int, shardings,
+                    u_is_zero: bool) -> bool:
+    """The megakernel covers a correction solve (zero iterate) over a
+    V-shaped (shape=1) sub-tower of 5-point cn_from_v levels ending in a
+    dense coarse solve, unsharded from the entry level down."""
+    if not _USE_TOWER or not u_is_zero or lvl == 0 or lvl >= len(levels) - 1:
+        return False
+    from hpcclassmultigridproject_tpu.ops.pallas.tower import TOWER_MAX_N
+
+    if levels[lvl].n > TOWER_MAX_N:
+        return False
+    if (cfg.cycle_shape != 1 or cfg.restriction != "inject"
+            or cfg.coarse_mode != "dense" or levels[-1].a_inv is None):
+        return False
+    for l in levels[lvl:-1]:
+        if (not getattr(l, "cn_from_v", False) or l.diag is not None
+                or l.ne is not None):
+            return False
+    if shardings is not None:
+        for s in shardings[lvl:]:
+            if len(s.spec) > 0:
+                return False
+    # backend gate WITHOUT the per-level banded-smoother floor
+    # (_AUTO_PALLAS_MIN_N governs where the banded kernel beats jnp per op;
+    # the tower replaces the whole sub-cycle, a different trade)
+    import numpy as np
+
+    if cfg.smoother != "rbgs":
+        return False
+    if np.dtype(cfg.dtype).itemsize != 4:
+        return False
+    if cfg.backend == "pallas":
+        return True
+    if cfg.backend != "auto":
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
 
 def _pallas_backend_ok(cfg: SolverConfig, level: Level) -> bool:
     """Backend/dtype/hardware gate shared by the single-device and sharded
@@ -250,6 +296,16 @@ def mg_cycle(
     output of the Pallas kernel vs a separate full stencil pass) — returns
     (u, res) instead of u.
     """
+    if (not want_final_residual
+            and _tower_eligible(cfg, levels, lvl, shardings, u_is_zero)):
+        # the whole sub-cycle from here down runs as two Pallas megakernel
+        # programs around the dense coarse matmul (ops/pallas/tower.py) —
+        # the fused form of the ~25 tiny per-level launches this recursion
+        # would otherwise emit (RESULTS.md round-4 coarse-tower attack)
+        from hpcclassmultigridproject_tpu.ops.pallas.tower import tower_vcycle
+
+        return tower_vcycle(levels, lvl, rhs, cfg)
+
     level = levels[lvl]
     smoother = _get_smoother(cfg)
     shard = None if shardings is None else shardings[lvl]

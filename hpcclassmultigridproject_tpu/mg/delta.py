@@ -184,19 +184,32 @@ def timestepper_delta(
         return hi2, lo2, delta_rhs(fine, hi2, lo2)
 
     def _certify_hi(hi2, lo2, d):
-        """The step's TRUE relative residual, entirely in the high dtype:
-        reconstruct u^n = hi + lo and u^{n+1} = u^n + δ, rebuild the CN rhs
-        B·u^n with the high-dtype operator, and take the reference's
-        mg_outer ratio (multigrid.cpp:104-113)."""
+        """The step's TRUE relative residual, entirely in the high dtype,
+        via the exact delta identity: the reference's mg_outer ratio
+        (multigrid.cpp:104-113) is ||rhs − A·u^{n+1}|| / ||rhs − A·u^n||
+        with rhs = B·u^n, and algebraically
+
+            rhs − A·u^n     = (B−A)·u^n           (the delta rhs)
+            rhs − A·u^{n+1} = (B−A)·u^n − A·δ
+
+        so the certificate needs TWO high-dtype stencils (difference-form
+        (B−A)·u^n and A·δ) instead of the three of the
+        reconstruct-B-then-two-residuals route — measured 6.2 → 3.3 ms
+        per flagship run at certify_every=10 (RESULTS.md round 4).  The
+        epilogue keeps the independent three-stencil form, so the two
+        derivations cross-check each other at the final step."""
         u_prev = hi2.astype(acc_dtype) + lo2.astype(acc_dtype)
-        u_next = u_prev + d.astype(acc_dtype)
-        rhs_hi = fine_hi.diag_b * u_prev - neighbor_sum(fine_hi, u_prev)
-        res0_hi = interior_norm(residual(fine_hi, u_prev, rhs_hi))
-        res_hi = interior_norm(residual(fine_hi, u_next, rhs_hi))
-        rel = res_hi / jnp.maximum(res0_hi, jnp.finfo(res0_hi.dtype).tiny)
+        rhs_d_hi = delta_rhs(fine_hi, u_prev)
+        res_hi = rhs_d_hi - (
+            fine_hi.diag_a * d.astype(acc_dtype)
+            + neighbor_sum(fine_hi, d.astype(acc_dtype))
+        )
+        rel = interior_norm(res_hi) / jnp.maximum(
+            interior_norm(rhs_d_hi), jnp.finfo(rhs_d_hi.dtype).tiny
+        )
         return rel.astype(jnp.float32)
 
-    def step(carry, t):
+    def step(carry, _):
         # carry invariant: u_t = hi + lo + d_pend (the correction computed
         # by the previous iteration is folded in here, fused with the
         # opening so the state pair crosses HBM once per step)
@@ -217,25 +230,72 @@ def timestepper_delta(
                 d = mg_cycle(levels, d, rhs_d, cfg, shardings=shardings,
                              u_is_zero=k == 0)
         rel = interior_norm(r) / res0
-        if cfg.certify_every:
-            # rigorous per-step certification (VERDICT r2 #6): every k-th
-            # step pays the high-dtype stencil passes under lax.cond (the
-            # branch only executes when taken); other steps record -1
-            rel_hi_t = jax.lax.cond(
-                (t % cfg.certify_every) == cfg.certify_every - 1,
-                lambda: _certify_hi(hi2, lo2, d),
-                lambda: jnp.float32(-1.0),
-            )
-        else:
-            rel_hi_t = jnp.float32(-1.0)
         return (hi2, lo2, constrain(d)), (
-            rel.astype(jnp.float32), rel <= cfg.tol, rel_hi_t,
+            rel.astype(jnp.float32), rel <= cfg.tol,
         )
 
-    (hi_p, lo_p, d_last), (rels, conv, rels_hi) = jax.lax.scan(
-        step, (hi0, lo0, jnp.zeros_like(hi0)),
-        jnp.arange(num_steps, dtype=jnp.int32),
-    )
+    init = (hi0, lo0, jnp.zeros_like(hi0))
+    seg = cfg.certify_every
+    if seg and num_steps >= seg:
+        # rigorous per-k-step certification (VERDICT r2 #6 / r3 #5) as a
+        # SEGMENTED scan: `num_steps//seg` outer iterations of a seg-step
+        # inner scan, with the high-dtype certificate computed BETWEEN
+        # segments (steps seg-1, 2seg-1, ... — the same cadence a
+        # `t % seg == seg-1` cond would fire on), then a plain scan over
+        # the remainder steps.  A lax.cond inside the hot body costs
+        # ~3.5 ms/run at N=1024 even when never taken (the branch bloats
+        # the loop body and defeats fusion — measured round 4);
+        # between-segment placement makes the certificates cost only their
+        # own ~2 stencils each.  The segment-end carry is
+        # (hi, lo, d_pend) = the last step's pre-accumulation state + its
+        # correction — exactly the state _certify_hi certifies.
+        nseg = num_steps // seg
+        rem = num_steps - nseg * seg
+
+        def seg_body(carry, _):
+            carry, ys = jax.lax.scan(step, carry, None, length=seg)
+            hi, lo, d_pend = carry
+            return carry, (ys, _certify_hi(hi, lo, d_pend))
+
+        if nseg <= 16:
+            # UNROLL the segment loop: wrapping the segments in an outer
+            # lax.scan measured +5 ms/run at N=1024 on top of the
+            # certificates' own cost (nested-scan overhead); unrolled, the
+            # 10 flagship certificates cost only their ~2 stencils each
+            # (~0.37 ms apiece).  Falls back to the outer scan at high
+            # segment counts to bound trace time.
+            carry = init
+            rels_parts, conv_parts, hi_parts = [], [], []
+            for _ in range(nseg):
+                carry, ((rels_s, conv_s), rel_hi_s) = seg_body(carry, None)
+                rels_parts.append(rels_s)
+                conv_parts.append(conv_s)
+                hi_parts.append(rel_hi_s)
+            rels = jnp.concatenate(rels_parts)
+            conv = jnp.concatenate(conv_parts)
+            rels_hi_seg = jnp.stack(hi_parts)
+        else:
+            carry, ((rels, conv), rels_hi_seg) = jax.lax.scan(
+                seg_body, init, None, length=nseg
+            )
+            rels = rels.reshape(nseg * seg)
+            conv = conv.reshape(nseg * seg)
+        if rem:
+            carry, (rels_r, conv_r) = jax.lax.scan(
+                step, carry, None, length=rem
+            )
+            rels = jnp.concatenate([rels, rels_r])
+            conv = jnp.concatenate([conv, conv_r])
+        hi_p, lo_p, d_last = carry
+        rels_hi = jnp.full((num_steps,), -1.0, jnp.float32)
+        rels_hi = rels_hi.at[
+            jnp.arange(nseg, dtype=jnp.int32) * seg + (seg - 1)
+        ].set(rels_hi_seg)
+    else:
+        (hi_p, lo_p, d_last), (rels, conv) = jax.lax.scan(
+            step, init, None, length=num_steps
+        )
+        rels_hi = jnp.full((num_steps,), -1.0, jnp.float32)
 
     # epilogue: the final pending correction folds in high precision, and
     # the last step's residual is recomputed entirely in the high dtype —
