@@ -91,6 +91,14 @@ class SolverConfig:
                                       # accumulate u += δ in `refine_dtype` — zero
                                       # high-precision stencil work per step; requires
                                       # refine_dtype set and cycle_mode="fixed"
+    slim_hi_operator: Optional[bool] = None
+                                      # store the high-precision (refine_dtype)
+                                      # fine operator as velocities only,
+                                      # recomputing coefficients on the fly
+                                      # (bit-identical in f64).  None = auto:
+                                      # slim at n >= 8192, where the six f64
+                                      # coefficient arrays would cost 3.3+ GB
+                                      # of HBM for a few certificate stencils
     sharded_overlap: bool = False     # rows-sharded fused smoothing: hide the
                                       # deep-halo ICI round behind the halo-
                                       # independent interior kernel (three

@@ -61,8 +61,8 @@ from hpcclassmultigridproject_tpu.mg.cycle import mg_cycle
 from hpcclassmultigridproject_tpu.mg.levels import Level
 from hpcclassmultigridproject_tpu.ops.padded import (
     interior_norm,
-    neighbor_sum,
-    residual,
+    neighbor_sum_auto,
+    residual_auto,
 )
 
 # Trace-time knob: route the accumulate+opening through the fused Pallas
@@ -202,7 +202,7 @@ def timestepper_delta(
         rhs_d_hi = delta_rhs(fine_hi, u_prev)
         res_hi = rhs_d_hi - (
             fine_hi.diag_a * d.astype(acc_dtype)
-            + neighbor_sum(fine_hi, d.astype(acc_dtype))
+            + neighbor_sum_auto(fine_hi, d.astype(acc_dtype))
         )
         rel = interior_norm(res_hi) / jnp.maximum(
             interior_norm(rhs_d_hi), jnp.finfo(rhs_d_hi.dtype).tiny
@@ -302,9 +302,9 @@ def timestepper_delta(
     # the rigorous certificate (hi_p + lo_p = u^{T-1} by the carry invariant)
     u_prev = hi_p.astype(acc_dtype) + lo_p.astype(acc_dtype)
     uT = u_prev + d_last.astype(acc_dtype)
-    rhs_hi = fine_hi.diag_b * u_prev - neighbor_sum(fine_hi, u_prev)
-    r_hi = residual(fine_hi, uT, rhs_hi)
-    res0_hi = interior_norm(residual(fine_hi, u_prev, rhs_hi))
+    rhs_hi = fine_hi.diag_b * u_prev - neighbor_sum_auto(fine_hi, u_prev)
+    r_hi = residual_auto(fine_hi, uT, rhs_hi)
+    res0_hi = interior_norm(residual_auto(fine_hi, u_prev, rhs_hi))
     rel_hi = interior_norm(r_hi) / jnp.maximum(
         res0_hi, jnp.finfo(res0_hi.dtype).tiny
     )

@@ -76,7 +76,7 @@ class Level:
     @property
     def padded(self) -> tuple[int, int]:
         """Padded storage shape (= the shape of every array in this level)."""
-        return self.aa.shape
+        return (self.aa if self.aa is not None else self.v1).shape
 
 
 def dense_interior_matrix(level: Level) -> np.ndarray:
@@ -155,7 +155,47 @@ def _np_restrict_inject(fine: np.ndarray, coarse_shape) -> np.ndarray:
     )
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("n", "dt", "nu", "h", "dtype"))
+def _device_cn_coefficients(v1p, v2p, *, n, dt, nu, h, dtype):
+    """Device-side twin of _np_cn_coefficients: one jitted formula pass in
+    f64 (correctly-rounded ops → same bits as the numpy build), so level
+    construction transfers (v1, v2) instead of six arrays.  On the
+    tunneled chip host→device moves ~5 MB/s — at n=8192 this cuts the
+    model build by several minutes."""
+    rr = 0.5 * dt / (h * h)
+    half_h = 0.5 * h
+    rows, cols = v1p.shape
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    interior = ((r >= 1) & (r <= n - 1)) & ((c >= 1) & (c <= n - 1))
+    mask = interior.astype(v1p.dtype)
+    aa = (rr * (-v2p * half_h + nu) * mask).astype(dtype)
+    bb = (rr * (v2p * half_h + nu) * mask).astype(dtype)
+    cc = (rr * (-v1p * half_h + nu) * mask).astype(dtype)
+    dd = (rr * (v1p * half_h + nu) * mask).astype(dtype)
+    return aa, bb, cc, dd, v1p.astype(dtype), v2p.astype(dtype)
+
+
 def _np_level(v1p, v2p, n, h, dt, nu, dtype) -> Level:
+    rr = 0.5 * dt / (h * h)
+    diag_a = float(1.0 - 4.0 * rr * nu)
+    diag_b = float(1.0 + 4.0 * rr * nu)
+    if jax.config.jax_enable_x64:
+        # transfer the two f64 velocity arrays once; derive the four
+        # coefficient arrays on-device (bit-identical: both routes are
+        # correctly-rounded f64 evaluations of the same expression)
+        aa, bb, cc, dd, v1d, v2d = _device_cn_coefficients(
+            jnp.asarray(v1p, jnp.float64), jnp.asarray(v2p, jnp.float64),
+            n=n, dt=dt, nu=nu, h=h, dtype=jnp.dtype(dtype),
+        )
+        return Level(
+            aa=aa, bb=bb, cc=cc, dd=dd, v1=v1d, v2=v2d, a_inv=None,
+            n=n, h=h, dt=dt, nu=nu,
+            diag_a=diag_a, diag_b=diag_b, cn_from_v=True,
+        )
     coef = _np_cn_coefficients(v1p, v2p, n, dt, nu, h)
     as_dev = lambda a: jnp.asarray(a, dtype)
     return Level(
@@ -174,14 +214,34 @@ def build_fine_level(
     dt: float,
     nu: float,
     dtype=jnp.float64,
+    store_coefficients: bool = True,
 ) -> Level:
     """Build only the finest level's operator at `dtype` — the high-precision
     operator used by mixed-precision iterative refinement (mg/refine.py) for
-    residuals and the CN right-hand side."""
+    residuals and the CN right-hand side.
+
+    `store_coefficients=False` builds a SLIM level: only (v1, v2) are
+    stored and aa..dd are None — consumers recompute coefficients on the
+    fly via ops/padded.py::neighbor_sum_auto (bit-identical in IEEE f64).
+    At n=8192 the six f64 coefficient arrays cost 3.3 GB of HBM (13 GB at
+    n=16384) for a handful of certificate stencils per run; the slim form
+    trades those reads for VPU flops."""
     n = v1.shape[0] - 1
     v1p = _np_pad_field(np.asarray(v1, np.float64))
     v2p = _np_pad_field(np.asarray(v2, np.float64))
-    return _np_level(v1p, v2p, n, 1.0 / n, dt, nu, dtype)
+    if store_coefficients:
+        return _np_level(v1p, v2p, n, 1.0 / n, dt, nu, dtype)
+    h = 1.0 / n
+    rr = 0.5 * dt / (h * h)
+    as_dev = lambda a: jnp.asarray(a, dtype)
+    return Level(
+        aa=None, bb=None, cc=None, dd=None,
+        v1=as_dev(v1p), v2=as_dev(v2p), a_inv=None,
+        n=n, h=h, dt=dt, nu=nu,
+        diag_a=float(1.0 - 4.0 * rr * nu),
+        diag_b=float(1.0 + 4.0 * rr * nu),
+        cn_from_v=True,
+    )
 
 
 def build_hierarchy(

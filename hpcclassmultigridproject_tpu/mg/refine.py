@@ -32,8 +32,8 @@ from hpcclassmultigridproject_tpu.mg.levels import Level
 from hpcclassmultigridproject_tpu.ops.padded import (
     _diag,
     interior_norm,
-    neighbor_sum,
-    residual,
+    neighbor_sum_auto,
+    residual_auto,
 )
 
 
@@ -42,8 +42,10 @@ def _hi_residual(fine_hi, u, rhs):
     (residual_from_v) variant was measured SLOWER here — emulated-f64
     multiplies for the on-the-fly coefficients cost more than the 2 saved
     array reads (0.0773 s vs 0.0649 s full-run, RESULTS.md) — so the
-    high-precision path keeps precomputed coefficient fields."""
-    return residual(fine_hi, u, rhs)
+    high-precision path keeps precomputed coefficient fields BY DEFAULT;
+    slim levels (aa is None, the n>=8192 HBM-saving form) recompute via
+    the *_auto dispatch."""
+    return residual_auto(fine_hi, u, rhs)
 
 
 def _correction(levels, r_lo, cfg, shardings):
@@ -153,7 +155,7 @@ def timestepper_refined_fused(
 
     def step(carry, _):
         u, rhs_prev, res0_prev = carry
-        ns = neighbor_sum(fine_hi, u)              # the one f64 stencil pass
+        ns = neighbor_sum_auto(fine_hi, u)         # the one f64 stencil pass
         au = d_a * u + ns
         rel_prev = cert(rhs_prev, au) / res0_prev  # step t-1 certificate
         rhs = fine_hi.diag_b * u - ns

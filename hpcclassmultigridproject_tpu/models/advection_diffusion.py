@@ -53,8 +53,15 @@ class AdvectionDiffusion:
                     "before building the model (otherwise JAX silently downcasts to f32)"
                 )
             vh1, vh2 = rotating_velocity(p.n, p.kx, p.ky, dtype=s.refine_dtype)
+            # slim (velocities-only) high-precision operator at large n:
+            # six f64 coefficient arrays would cost 3.3 GB at n=8192 /
+            # 13 GB at n=16384 for a few certificate stencils per run
+            slim = s.slim_hi_operator
+            if slim is None:
+                slim = p.n >= 8192
             self.fine_hi: Level | None = build_fine_level(
-                vh1, vh2, p.dt_, p.nu, dtype=s.refine_dtype
+                vh1, vh2, p.dt_, p.nu, dtype=s.refine_dtype,
+                store_coefficients=not slim,
             )
             self.u0 = pad_field(
                 gaussian_u0(p.n, p.x0, p.y0, p.sigma, dtype=s.refine_dtype)

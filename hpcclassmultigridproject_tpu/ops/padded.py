@@ -138,6 +138,25 @@ def residual_from_v(level, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     return rhs - level.diag_a * u - neighbor_sum_from_v(level, u)
 
 
+def neighbor_sum_auto(level, u: jnp.ndarray) -> jnp.ndarray:
+    """`neighbor_sum` that tolerates SLIM levels (aa is None — the
+    velocities-only high-precision operator used at n>=8192, where storing
+    six f64 coefficient arrays would cost 3.3 GB at n=8192 / 13 GB at
+    n=16384 of HBM; mg/levels.py::build_fine_level store_coefficients).
+    Bit-identical to the precomputed form in IEEE f64 (the from_v
+    expressions mirror _np_cn_coefficients exactly)."""
+    if level.aa is None:
+        return neighbor_sum_from_v(level, u)
+    return neighbor_sum(level, u)
+
+
+def residual_auto(level, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """`residual` via `neighbor_sum_auto` (slim-level tolerant)."""
+    if level.aa is None:
+        return residual_from_v(level, u, rhs)
+    return residual(level, u, rhs)
+
+
 def residual(coef, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """res = rhs − A·u (gs.cpp:55-83); zero outside the interior by the
     coefficient-masking invariant (the Galerkin diag is 1 outside the
@@ -281,6 +300,20 @@ def restrict_inject(fine: jnp.ndarray, coarse_shape: tuple[int, int]) -> jnp.nda
     so the invariant holds without masking.
     """
     return _decimate(fine, coarse_shape)
+
+
+def restrict_inject_rows_decimated(
+    dec: jnp.ndarray, coarse_shape: tuple[int, int]
+) -> jnp.ndarray:
+    """Finish an injection restriction whose ROW decimation already happened
+    in-kernel (the fused smoother's residual_rows_decimated output,
+    ops/pallas/smoother.py): crop/pad the half-row array and apply the same
+    column-decimation matmul as `_decimate` — bit-identical to
+    restrict_inject(full_res, coarse_shape)."""
+    rows = dec[: coarse_shape[0]]
+    rows = jnp.pad(rows, ((0, coarse_shape[0] - rows.shape[0]), (0, 0)))
+    D = jnp.asarray(_inject_cols_np(dec.shape[1], coarse_shape[1]), dec.dtype)
+    return jnp.matmul(rows, D, precision=lax.Precision.HIGHEST)
 
 
 def restrict_full_weighting(

@@ -132,7 +132,8 @@ def _fused_open(hi, lo, d, v1, v2, *, cn):
         out_specs=(out_spec,) * 3,
         out_shape=(s, s, s),
         interpret=_sm.INTERPRET,
-        compiler_params=_sm._compiler_params(footprint),
+        compiler_params=_sm._compiler_params(footprint,
+                                             cols * hi.dtype.itemsize),
     )(hi, lo, d, v1, v2)
 
 

@@ -72,17 +72,26 @@ INTERPRET = False
 # scripts/smoke_tpu.py on hardware.
 _VMEM_BUDGET = 12 * 1024 * 1024
 _NARROW_BUDGET = 4 * 1024 * 1024
-_WIDE_ROW_BYTES = 16000  # cols*itemsize at n=4096 is 16896; n=2048 is 8704
+_XWIDE_BUDGET = 16 * 1024 * 1024
+_WIDE_ROW_BYTES = 16000   # cols*itemsize at n=4096 is 16896; n=2048 is 8704
+_XWIDE_ROW_BYTES = 32000  # n=8192 is 33280
 
 # Scoped-VMEM cap the working-set assertion checks against.  An explicit
 # vmem_limit_bytes is emitted per kernel ONLY when that kernel's modeled
 # footprint exceeds Mosaic's builtin 16 MiB default; narrow-row kernels
-# stay under the builtin cap and carry no override.
+# stay under the builtin cap and carry no override.  The xwide (n>=8192)
+# tier uses the 64 MiB cap — the largest at which over-size geometries
+# still fail CLEANLY at AOT compile (round-3 finding; re-confirmed round 4
+# by the rejected bh=80 probe at n=8192).  Round-4 probe at n=8192
+# (bench_data/band_probe.jsonl): bh=40 41.0, bh=64 47.2, bh=72 46.8 GDOF/s.
 _VMEM_LIMIT = 48 * 1024 * 1024
+_XWIDE_LIMIT = 64 * 1024 * 1024
 _DEFAULT_VMEM_LIMIT = 16 * 1024 * 1024
 
 
 def _budget_for(row_bytes: int) -> int:
+    if row_bytes >= _XWIDE_ROW_BYTES:
+        return max(_VMEM_BUDGET, _XWIDE_BUDGET)
     if row_bytes >= _WIDE_ROW_BYTES:
         return _VMEM_BUDGET
     return min(_VMEM_BUDGET, _NARROW_BUDGET)
@@ -94,26 +103,31 @@ def _limit_for(row_bytes: int) -> int:
     _VMEM_LIMIT would silently re-enable the override and re-open the
     whole-program VMEM pressure class), so their band is capped against the
     no-override default budget."""
+    if row_bytes >= _XWIDE_ROW_BYTES:
+        return max(_VMEM_LIMIT, _XWIDE_LIMIT)
     if row_bytes >= _WIDE_ROW_BYTES:
         return _VMEM_LIMIT
     return min(_VMEM_LIMIT, _DEFAULT_VMEM_LIMIT)
 
 
-def _compiler_params(footprint: int | None = None):
+def _compiler_params(footprint: int | None = None, row_bytes: int = 0):
+    limit = _limit_for(row_bytes) if row_bytes else _VMEM_LIMIT
     if footprint is not None and footprint <= _DEFAULT_VMEM_LIMIT:
         return None
-    if _VMEM_LIMIT == _DEFAULT_VMEM_LIMIT:
+    if limit == _DEFAULT_VMEM_LIMIT:
         return None
-    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 # Empirical allowance for Mosaic kernel temporaries, in input-window units.
-# Calibrated against the AOT compiler's own scoped-allocation reports (round
-# 3, n=4096 from_v kernel, /tmp band sweep → bench_data/band_probe.jsonl):
-# actual stack = 41.39 M @ bh=104, 55.58 M @ bh=144, 69.76 M @ bh=184, i.e.
-# actual − (2·n_in·win + 2·n_out·band) ≈ 9 windows at every point (the sweep
-# cascade's live intermediates: u, upd, masks, the four recomputed
-# coefficient planes and the nb() accumulator).
-_TEMP_WINDOWS = 9
+# Calibrated against the AOT compiler's own scoped-allocation reports (the
+# sweep cascade's live intermediates: u, upd, masks, the four recomputed
+# coefficient planes and the nb() accumulator):
+#   round 3, n=4096 from_v: actual stack 41.39 M @ bh=104 -> T = 9.93
+#   round 4, n=8192 from_v: actual stack 65.81 M @ bh=80  -> T = 10.27
+# (the round-3 note rounded to 9, which under-modeled by ~4 MiB at 33 KB
+# rows and let a 64 MiB-limit config through to a clean AOT rejection).
+# 10.5 upper-bounds both measured points.
+_TEMP_WINDOWS = 10.5
 
 
 def _halo(nsweeps: int) -> int:
@@ -129,7 +143,7 @@ def _footprint(bh: int, cols: int, itemsize: int, h: int,
     allowance (see _TEMP_WINDOWS calibration note)."""
     win = (bh + 2 * h) * cols * itemsize
     band = bh * cols * itemsize
-    return 2 * n_in * win + 2 * n_out * band + _TEMP_WINDOWS * win
+    return int(2 * n_in * win + 2 * n_out * band + _TEMP_WINDOWS * win)
 
 
 def _assert_vmem_fit(bh: int, cols: int, itemsize: int, h: int,
@@ -172,13 +186,13 @@ def _pick_band(rows: int, cols: int, itemsize: int, h: int,
         ce = cols * itemsize
         row_coef = 2 * n_in + 2 * n_out + _TEMP_WINDOWS
         const = 2 * h * (2 * n_in + _TEMP_WINDOWS)
-        cap = (_limit_for(ce) // ce - const) // row_coef // 8 * 8
+        cap = int((_limit_for(ce) // ce - const) // row_coef) // 8 * 8
         bh = max(8, min(bh, cap))
     return bh
 
 
 def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
-            add_corr, with_row_off, *refs):
+            add_corr, with_row_off, nine, res_rows_dec, *refs):
     # refs: with cn=None, (u, rhs, aa, bb, cc, dd) windows of shape
     # (bh+2h, cols); with cn=(rr, half_h, nu, n), (u, rhs, v1, v2) windows
     # and the CN coefficients are recomputed in-kernel (the reference's own
@@ -189,7 +203,11 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
     # skipping the read saves materializing + loading a zeros array).  With
     # add_corr, a `corr` window follows u and the iterate is u + corr — the
     # prolonged coarse correction folds into the post-smooth read instead of
-    # costing its own add pass over HBM (SURVEY §7.3c).
+    # costing its own add pass over HBM (SURVEY §7.3c).  With nine
+    # (Galerkin RAP levels, sparse/galerkin.py), four corner-band windows
+    # (ne, nw, se, sw) and the spatially-varying diagonal follow the four
+    # edge bands; the dependency radius per color pass is still 1, so the
+    # banding/halo machinery is untouched (VERDICT r3 weak #7).
     # Then outputs.
     i = pl.program_id(0)
     first = i == 0
@@ -209,8 +227,8 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
     # cannot lower (f64 convert recursion), so zeros are dtype-exact.
     dtype = refs[0].dtype
     zero = dtype.type(0)
-    n_in = ((6 if cn is None else 4) - (1 if zero_init else 0)
-            + (1 if add_corr else 0))
+    n_in = (((11 if nine else 6) if cn is None else 4)
+            - (1 if zero_init else 0) + (1 if add_corr else 0))
     # with_row_off (sharded use, parallel/pallas_halo.py): one trailing SMEM
     # scalar holds the block's global row offset so the from_v interior mask
     # works on a device-local extended block (local row + off = global row)
@@ -221,7 +239,14 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
     if add_corr:
         fields[0] = fields[0] + fields[1]
         del fields[1]
-    if cn is None:
+    if nine:
+        u, rhs, aa, bb, cc, dd, ne, nw, se, sw, dg = fields
+        # the varying diagonal is stored with ONES outside the interior
+        # (mg/levels.py) so reciprocals stay finite; the exists NaN-guard
+        # zeroed the overhang rows — restore 1 there or 0/0 poisons the
+        # cascade through the corner reads
+        dg = jnp.where(exists, dg, dtype.type(1))
+    elif cn is None:
         u, rhs, aa, bb, cc, dd = fields
     else:
         u, rhs, v1, v2 = fields
@@ -248,12 +273,23 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
         dn = jnp.pad(x[1:, :], ((0, 1), (0, 0)), constant_values=zero)
         lf = jnp.pad(x[:, :-1], ((0, 0), (1, 0)), constant_values=zero)
         rt = jnp.pad(x[:, 1:], ((0, 0), (0, 1)), constant_values=zero)
-        return cc * up + dd * dn + aa * lf + bb * rt
+        s = cc * up + dd * dn + aa * lf + bb * rt
+        if nine:
+            # corner couplings (ops/padded.py::neighbor_sum order):
+            # ne -> x[i-1,j+1], nw -> x[i-1,j-1], se -> x[i+1,j+1],
+            # sw -> x[i+1,j-1]
+            ur = jnp.pad(x[:-1, 1:], ((1, 0), (0, 1)), constant_values=zero)
+            ul = jnp.pad(x[:-1, :-1], ((1, 0), (1, 0)), constant_values=zero)
+            dr = jnp.pad(x[1:, 1:], ((0, 1), (0, 1)), constant_values=zero)
+            dl = jnp.pad(x[1:, :-1], ((0, 1), (1, 0)), constant_values=zero)
+            s = s + ne * ur + nw * ul + se * dr + sw * dl
+        return s
 
     # red = (i+j) even in GLOBAL indices; g parity == r_idx parity since the
     # window start is a multiple of 8
     red = ((r_idx + c_idx) & jnp.int32(1)) == jnp.int32(0)
-    inv_diag = dtype.type(1.0 / diag_a)
+    diag = dg if nine else dtype.type(diag_a)
+    inv_diag = dtype.type(1) / diag if nine else dtype.type(1.0 / diag_a)
 
     for p in range(2 * nsweeps):
         color = red if p % 2 == 0 else jnp.logical_not(red)
@@ -268,40 +304,58 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
     # center offset inside the window: 0 for the first band (clamped window),
     # h otherwise — two static slices under pl.when (Mosaic has no value
     # dynamic_slice)
-    res = rhs - diag_a * u - nb(u) if want_residual else None
+    res = rhs - diag * u - nb(u) if want_residual else None
+
+    def _dec(x):
+        # row-decimated center band (restriction rows, gs.cpp:283): band
+        # starts are even (bh multiple of 8), so center row 2j is global
+        # row start+2j — rank-3 reshape decimation (sublane-stride slices
+        # do not lower in Mosaic; probed, scripts/mosaic_probe_tpu.py)
+        return x.reshape(bh // 2, 2, cols)[:, 0, :]
 
     @pl.when(first)
     def _():
         refs[n_args][:] = u[0:bh, :]
         if want_residual:
-            refs[n_args + 1][:] = res[0:bh, :]
+            r_c = res[0:bh, :]
+            refs[n_args + 1][:] = _dec(r_c) if res_rows_dec else r_c
 
     @pl.when(jnp.logical_not(first))
     def _():
         refs[n_args][:] = u[h:h + bh, :]
         if want_residual:
-            refs[n_args + 1][:] = res[h:h + bh, :]
+            r_c = res[h:h + bh, :]
+            refs[n_args + 1][:] = _dec(r_c) if res_rows_dec else r_c
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "nsweeps", "diag_a", "want_residual", "cn", "zero_init", "add_corr",
-        "with_row_off",
+        "with_row_off", "nine", "res_rows_dec",
     ),
 )
 def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False,
-           add_corr=False, with_row_off=False):
+           add_corr=False, with_row_off=False, nine=False,
+           res_rows_dec=False):
     # arrays: (u, [corr,] rhs, fields...) — or (rhs, fields...) with
-    # zero_init — where fields = (aa, bb, cc, dd) precomputed or (v1, v2)
-    # with cn set.  With with_row_off, one trailing (1, 1) i32 array holds
+    # zero_init — where fields = (aa, bb, cc, dd) precomputed, (v1, v2)
+    # with cn set, or (aa..dd, ne, nw, se, sw, diag) with nine (Galerkin).
+    # With with_row_off, one trailing (1, 1) i32 array holds
     # the block's global row offset (sharded use, parallel/pallas_halo.py).
     rows, cols = arrays[0].shape
     h = _halo(nsweeps)
     n_win = len(arrays) - (1 if with_row_off else 0)
     n_out = 2 if want_residual else 1
     bh = _pick_band(rows, cols, arrays[0].dtype.itemsize, h,
+                    n_windows=max(6, n_win),
                     n_in=n_win, n_out=n_out)
+    if res_rows_dec:
+        # the decimated-residual output block is bh/2 rows and Mosaic needs
+        # output blocks divisible by 8 -> bh must be a multiple of 16
+        # (n=4096: 104 -> 96, ~1% extra halo recompute; other sizes already
+        # are multiples of 16)
+        bh = max(16, bh // 16 * 16)
     footprint = _assert_vmem_fit(bh, cols, arrays[0].dtype.itemsize, h,
                                  n_in=n_win, n_out=n_out)
     grid = pl.cdiv(rows, bh)
@@ -324,8 +378,22 @@ def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False,
     )
     out_shape = jax.ShapeDtypeStruct(arrays[0].shape, arrays[0].dtype)
     if want_residual:
-        out_shape = (out_shape, jax.ShapeDtypeStruct(arrays[0].shape, arrays[0].dtype))
-        out_spec = (out_spec, out_spec)
+        if res_rows_dec:
+            # row-decimated residual (restriction pre-fusion): each band
+            # writes its bh/2 decimated center rows; only the column
+            # matmul remains outside (ops/padded.py::_decimate cols)
+            res_shape = jax.ShapeDtypeStruct((rows // 2, cols),
+                                             arrays[0].dtype)
+            res_spec = pl.BlockSpec(
+                (bh // 2, cols), lambda i: (i, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            res_shape = jax.ShapeDtypeStruct(arrays[0].shape,
+                                             arrays[0].dtype)
+            res_spec = out_spec
+        out_shape = (out_shape, res_shape)
+        out_spec = (out_spec, res_spec)
 
     in_specs = [in_spec] * n_win
     if with_row_off:
@@ -335,14 +403,16 @@ def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False,
     return pl.pallas_call(
         functools.partial(
             _kernel, nsweeps, bh, h, rows, diag_a, want_residual, cn,
-            zero_init, add_corr, with_row_off,
+            zero_init, add_corr, with_row_off, nine, res_rows_dec,
         ),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=INTERPRET,
-        compiler_params=_compiler_params(footprint),
+        compiler_params=_compiler_params(
+            footprint, cols * arrays[0].dtype.itemsize
+        ),
     )(*arrays)
 
 
@@ -363,7 +433,8 @@ def cn_params(level) -> tuple[float, float, float, int]:
 
 
 def fused_rb_sweeps(level, u, rhs, nsweeps: int, want_residual: bool = False,
-                    zero_init: bool = False, corr=None):
+                    zero_init: bool = False, corr=None,
+                    residual_rows_decimated: bool = False):
     """`nsweeps` red–black GS sweeps (+ optional trailing residual) in one
     fused HBM pass.  Drop-in replacement for `nsweeps` calls of
     ops/padded.py::rb_gauss_seidel (+ one residual); see tests/test_pallas.py
@@ -381,9 +452,27 @@ def fused_rb_sweeps(level, u, rhs, nsweeps: int, want_residual: bool = False,
     `corr` (mutually exclusive with zero_init): smooth from the iterate
     u + corr — the prolonged coarse-grid correction is added in-kernel, so
     the separate add pass (read u + read corr + write sum + re-read by the
-    smoother) collapses into the smoother's own window reads."""
+    smoother) collapses into the smoother's own window reads.
+
+    `residual_rows_decimated=True`: the residual output is ROW-decimated
+    (res[::2, :]) in-kernel — the row half of an injection restriction
+    (gs.cpp:283), halving the residual write and the downstream restrict
+    read; finish with ops/padded.py::restrict_inject_rows_decimated.
+
+    Galerkin levels (level.ne/diag set) route through the nine-band kernel
+    form automatically (corner couplings + spatially-varying diagonal)."""
     assert not (zero_init and corr is not None)
-    if getattr(level, "cn_from_v", False):
+    nine = level.ne is not None or level.diag is not None
+    if nine:
+        # Galerkin RAP level (sparse/galerkin.py): 9-point bands + varying
+        # diagonal.  RB semantics match ops/padded.py::rb_gauss_seidel
+        # (corner neighbors share the node's color and are read at their
+        # pre-sweep values — see the galerkin module docstring).
+        assert level.ne is not None and level.diag is not None
+        cn = None
+        fields = (level.aa, level.bb, level.cc, level.dd,
+                  level.ne, level.nw, level.se, level.sw, level.diag)
+    elif getattr(level, "cn_from_v", False):
         cn = cn_params(level)
         fields = (level.v1, level.v2)
     else:
@@ -398,6 +487,7 @@ def fused_rb_sweeps(level, u, rhs, nsweeps: int, want_residual: bool = False,
     out = _fused(
         *arrays, nsweeps=nsweeps, diag_a=level.diag_a,
         want_residual=want_residual, cn=cn, zero_init=zero_init,
-        add_corr=corr is not None,
+        add_corr=corr is not None, nine=nine,
+        res_rows_dec=residual_rows_decimated,
     )
     return out if want_residual else (out, None)

@@ -91,7 +91,10 @@ def main():
     rhs = jnp.zeros_like(u)
     rows, cols = u.shape
     h = psm._halo(NSWEEPS)
-    bh = psm._pick_band(rows, cols, 4, h)
+    # mirror the kernel's own geometry choice (from_v + residual: 4 in /
+    # 2 out) INCLUDING the calibrated-footprint cap — probing an uncapped
+    # bh would reject configs the kernel itself runs fine (round-4 fix)
+    bh = psm._pick_band(rows, cols, 4, h, n_in=4, n_out=2)
     rec = {"n": n, "budget_mb": args.budget_mb, "limit_mb": args.limit_mb,
            "bh": bh, "halo_overhead": round((bh + 2 * h) / bh, 3),
            "device": str(jax.devices()[0])}

@@ -370,3 +370,27 @@ def test_delta_certify_every_catches_poisoned_rhs():
             make().run(warn=True)
         finally:
             delta_mod.delta_rhs = orig
+
+
+def test_slim_hi_operator_is_bit_identical():
+    """The velocities-only (slim) high-precision operator — aa..dd = None,
+    coefficients recomputed via the *_auto dispatch (the n>=8192 HBM-saving
+    form) — produces bit-identical runs and certificates: the from_v
+    expressions mirror _np_cn_coefficients exactly in IEEE f64."""
+    kw = dict(dtype=jnp.float32, refine_dtype=jnp.float64, tol=1e-6,
+              cycle_mode="fixed", num_cycles=1, coarse_mode="dense",
+              delta_form=True, certify_every=2)
+    p = ProblemConfig(n=128, num_steps=6)
+    uT0, st0 = AdvectionDiffusion(
+        p, SolverConfig(slim_hi_operator=False, **kw)).run(warn=False)
+    m1 = AdvectionDiffusion(p, SolverConfig(slim_hi_operator=True, **kw))
+    assert m1.fine_hi.aa is None          # actually slim
+    uT1, st1 = m1.run(warn=False)
+    np.testing.assert_array_equal(np.asarray(uT0), np.asarray(uT1))
+    np.testing.assert_array_equal(
+        np.asarray(st0["rel_residual_hi_steps"]),
+        np.asarray(st1["rel_residual_hi_steps"]),
+    )
+    assert float(st0["final_rel_residual_hi"]) == float(
+        st1["final_rel_residual_hi"]
+    )
