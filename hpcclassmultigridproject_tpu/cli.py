@@ -51,6 +51,10 @@ def _solver_args(p: argparse.ArgumentParser) -> None:
                    default="adaptive")
     p.add_argument("--num-cycles", type=int, default=2)
     p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
+    p.add_argument("--certify-every", type=int, default=0,
+                   help="delta mode: rigorous refine-dtype certificate every "
+                        "k-th step inside the timed run (0 = final-step "
+                        "epilogue only)")
 
 
 def _build_model(args):
@@ -84,6 +88,7 @@ def _build_model(args):
         refine_dtype=refine,
         backend=args.backend,
         delta_form=delta,
+        certify_every=getattr(args, "certify_every", 0),
     )
     return AdvectionDiffusion(problem, solver)
 

@@ -128,6 +128,11 @@ def _compiler_params(footprint: int | None = None, row_bytes: int = 0):
 # rows and let a 64 MiB-limit config through to a clean AOT rejection).
 # 10.5 upper-bounds both measured points.
 _TEMP_WINDOWS = 10.5
+# The nine-band (Galerkin) kernel keeps more live planes (4 corner-band
+# windows' products, the varying diagonal and its reciprocal): measured
+# 20.3 windows from the AOT report at n=256 (actual stack 16.75 M,
+# n_in=11, bh=232); 21 upper-bounds it.
+_TEMP_WINDOWS_NINE = 21.0
 
 
 def _halo(nsweeps: int) -> int:
@@ -137,29 +142,34 @@ def _halo(nsweeps: int) -> int:
 
 
 def _footprint(bh: int, cols: int, itemsize: int, h: int,
-               n_in: int, n_out: int) -> int:
+               n_in: int, n_out: int, temps: float | None = None) -> int:
     """Calibrated working-set model: 2x double-buffered input windows of
     (bh+2h) rows, 2x double-buffered output bands, plus the temporary
-    allowance (see _TEMP_WINDOWS calibration note)."""
+    allowance (see _TEMP_WINDOWS calibration note; the nine-band kernel
+    carries its own larger allowance)."""
+    if temps is None:
+        temps = _TEMP_WINDOWS
     win = (bh + 2 * h) * cols * itemsize
     band = bh * cols * itemsize
-    return int(2 * n_in * win + 2 * n_out * band + _TEMP_WINDOWS * win)
+    return int(2 * n_in * win + 2 * n_out * band + temps * win)
 
 
 def _assert_vmem_fit(bh: int, cols: int, itemsize: int, h: int,
-                     n_in: int, n_out: int) -> int:
+                     n_in: int, n_out: int,
+                     temps: float | None = None) -> int:
     """Trace-time guard (VERDICT r2 #1): the modeled working set must fit
     the scoped-VMEM cap.  A bad _VMEM_BUDGET now fails here with a readable
     error instead of faulting the TPU worker at run time.  Returns the
     modeled footprint (used to decide whether a vmem_limit_bytes override
     is emitted at all)."""
-    footprint = _footprint(bh, cols, itemsize, h, n_in, n_out)
+    footprint = _footprint(bh, cols, itemsize, h, n_in, n_out, temps)
     limit = _limit_for(cols * itemsize)
     if footprint > limit:
         raise ValueError(
             f"fused-smoother band working set {footprint / 2**20:.1f} MiB "
             f"(bh={bh}, cols={cols}, {n_in} in / {n_out} out windows, "
-            f"+{_TEMP_WINDOWS} temporaries) exceeds the {limit / 2**20:.0f}"
+            f"+{temps or _TEMP_WINDOWS} temporaries) exceeds the "
+            f"{limit / 2**20:.0f}"
             " MiB scoped-VMEM cap; lower _VMEM_BUDGET (or validate a raised "
             "cap on hardware with scripts/smoke_tpu.py first)"
         )
@@ -168,7 +178,8 @@ def _assert_vmem_fit(bh: int, cols: int, itemsize: int, h: int,
 
 def _pick_band(rows: int, cols: int, itemsize: int, h: int,
                n_windows: int = 6, n_in: int | None = None,
-               n_out: int | None = None) -> int:
+               n_out: int | None = None,
+               temps: float | None = None) -> int:
     """Largest multiple-of-8 band height whose `n_windows` input-window rows
     fit the VMEM budget.  The fixed window-count proxy (6 for the smoother,
     8 for the delta opening) is the on-chip-proven geometry heuristic; when
@@ -183,9 +194,10 @@ def _pick_band(rows: int, cols: int, itemsize: int, h: int,
         # solve 2·n_in·(bh+2h)·c·e + 2·n_out·bh·c·e + T·(bh+2h)·c·e <= LIMIT
         # (the row-width-dependent limit: narrow rows are capped against the
         # no-override default so they never earn a vmem_limit_bytes override)
+        t = _TEMP_WINDOWS if temps is None else temps
         ce = cols * itemsize
-        row_coef = 2 * n_in + 2 * n_out + _TEMP_WINDOWS
-        const = 2 * h * (2 * n_in + _TEMP_WINDOWS)
+        row_coef = 2 * n_in + 2 * n_out + t
+        const = 2 * h * (2 * n_in + t)
         cap = int((_limit_for(ce) // ce - const) // row_coef) // 8 * 8
         bh = max(8, min(bh, cap))
     return bh
@@ -277,11 +289,15 @@ def _kernel(nsweeps, bh, h, total_rows, diag_a, want_residual, cn, zero_init,
         if nine:
             # corner couplings (ops/padded.py::neighbor_sum order):
             # ne -> x[i-1,j+1], nw -> x[i-1,j-1], se -> x[i+1,j+1],
-            # sw -> x[i+1,j-1]
-            ur = jnp.pad(x[:-1, 1:], ((1, 0), (0, 1)), constant_values=zero)
-            ul = jnp.pad(x[:-1, :-1], ((1, 0), (1, 0)), constant_values=zero)
-            dr = jnp.pad(x[1:, 1:], ((0, 1), (0, 1)), constant_values=zero)
-            dl = jnp.pad(x[1:, :-1], ((0, 1), (1, 0)), constant_values=zero)
+            # sw -> x[i+1,j-1].  Each corner shift is a SINGLE-axis pad of
+            # the already-shifted row plane — Mosaic cannot lower
+            # two-axis pads ("result/input offset mismatch on non-concat
+            # dimension", caught on hardware round 4); the composition is
+            # value-identical (zero-fill composes exactly)
+            ur = jnp.pad(up[:, 1:], ((0, 0), (0, 1)), constant_values=zero)
+            ul = jnp.pad(up[:, :-1], ((0, 0), (1, 0)), constant_values=zero)
+            dr = jnp.pad(dn[:, 1:], ((0, 0), (0, 1)), constant_values=zero)
+            dl = jnp.pad(dn[:, :-1], ((0, 0), (1, 0)), constant_values=zero)
             s = s + ne * ur + nw * ul + se * dr + sw * dl
         return s
 
@@ -347,9 +363,10 @@ def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False,
     h = _halo(nsweeps)
     n_win = len(arrays) - (1 if with_row_off else 0)
     n_out = 2 if want_residual else 1
+    temps = _TEMP_WINDOWS_NINE if nine else None
     bh = _pick_band(rows, cols, arrays[0].dtype.itemsize, h,
                     n_windows=max(6, n_win),
-                    n_in=n_win, n_out=n_out)
+                    n_in=n_win, n_out=n_out, temps=temps)
     if res_rows_dec:
         # the decimated-residual output block is bh/2 rows and Mosaic needs
         # output blocks divisible by 8 -> bh must be a multiple of 16
@@ -357,7 +374,7 @@ def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False,
         # are multiples of 16)
         bh = max(16, bh // 16 * 16)
     footprint = _assert_vmem_fit(bh, cols, arrays[0].dtype.itemsize, h,
-                                 n_in=n_win, n_out=n_out)
+                                 n_in=n_win, n_out=n_out, temps=temps)
     grid = pl.cdiv(rows, bh)
 
     # overlapping element-offset windows: rows [max(i*bh-h, 0), +bh+2h)

@@ -79,7 +79,12 @@ def _bytes_model(phase: str, level, itemsize: int, nsweeps: int,
 
             rows, cols = level.padded
             h = _halo(nsweeps)
-            n_in = 4 if getattr(level, "cn_from_v", False) else 6
+            if getattr(level, "ne", None) is not None:
+                n_in = 11   # Galerkin nine-band kernel: 9 bands + u + rhs
+            elif getattr(level, "cn_from_v", False):
+                n_in = 4
+            else:
+                n_in = 6
             # pass the kernel's true (n_in, n_out) so the modeled band
             # height matches the calibrated-footprint cap the kernel itself
             # applies (ADVICE r3 #3); the profiled smooth block runs

@@ -79,6 +79,15 @@ def main():
     ap.add_argument("--limit-mb", type=float, default=16.0)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="bench_data/band_probe.jsonl")
+    ap.add_argument("--slim", action="store_true",
+                    help="build a velocities-only level (the from_v kernel "
+                         "reads only v1/v2; saves 4 coefficient arrays of "
+                         "HBM — required at n=16384 where the full level + "
+                         "jnp crosscheck RESOURCE_EXHAUSTs the 16 GB chip)")
+    ap.add_argument("--no-check", action="store_true",
+                    help="skip the jnp crosscheck (its temporaries OOM at "
+                         "n=16384; kernel equivalence is pinned at smaller "
+                         "sizes and by tests)")
     args = ap.parse_args()
 
     psm._VMEM_BUDGET = int(args.budget_mb * 2**20)
@@ -86,7 +95,9 @@ def main():
 
     n = args.n
     v1, v2 = rotating_velocity(n, dtype=jnp.float32)
-    level = build_fine_level(v1, v2, (1.0 / n) / 10, -4e-4, dtype=jnp.float32)
+    level = build_fine_level(v1, v2, (1.0 / n) / 10, -4e-4,
+                             dtype=jnp.float32,
+                             store_coefficients=not args.slim)
     u = pad_field(jnp.zeros((n + 1, n + 1), jnp.float32).at[1:-1, 1:-1].set(1.0))
     rhs = jnp.zeros_like(u)
     rows, cols = u.shape
@@ -123,9 +134,12 @@ def main():
             u = pops.rb_gauss_seidel(level, u, rhs)
         return u, pops.residual(level, u, rhs)
 
-    up, _ = jax.jit(block)(level, u, rhs)
-    uj, _ = jax.jit(jnp_block)(level, u, rhs)
-    err = float(jnp.max(jnp.abs(uj - up)))
+    if args.no_check:
+        err = None
+    else:
+        up, _ = jax.jit(block)(level, u, rhs)
+        uj, _ = jax.jit(jnp_block)(level, u, rhs)
+        err = float(jnp.max(jnp.abs(uj - up)))
 
     l1 = max(4, (1024 // max(n // 4, 1)) ** 2 * 4)
     l1 = max(4, min(l1, 64))

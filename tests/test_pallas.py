@@ -365,8 +365,16 @@ def test_band_policy_row_width_dependent():
     # wide-row kernels carry the raised cap
     fp = psm._footprint(104, 4224, 4, 8, n_in=4, n_out=2)
     assert fp > psm._DEFAULT_VMEM_LIMIT
-    params = psm._compiler_params(fp)
+    params = psm._compiler_params(fp, 4224 * 4)
     assert params is not None and fp <= psm._VMEM_LIMIT
+    # xwide tier (n>=8192, round-4 probe): bh=64 under the 64 MiB cap
+    assert psm._pick_band(8200, 8320, 4, 8, n_in=4, n_out=2) == 64
+    fp = psm._footprint(64, 8320, 4, 8, n_in=4, n_out=2)
+    assert fp <= psm._XWIDE_LIMIT
+    params = psm._compiler_params(fp, 8320 * 4)
+    assert params is not None
+    import dataclasses as _dc
+    assert _dc.asdict(params)["vmem_limit_bytes"] == psm._XWIDE_LIMIT
 
 
 def test_residual_rows_decimated_restriction_matches():
