@@ -98,6 +98,10 @@ def main():
         "vs_baseline": round(BASELINE_N1024_S / secs, 2),
         "detail": {
             "device": str(jax.devices()[0]),
+            # per-rep wall times: a spiky tunnel session is diagnosable
+            # from the spread instead of silently eaten by min-of-9
+            # (VERDICT r4 next #1a)
+            "rep_times_s": [round(t, 4) for t in times],
             "config": "delta-form f32 steps + f32-pair state, pallas from_v "
                       "smoother (auto), fixed 1 cycle/step, dense coarse, "
                       "rigorous f64 certificate every 10th step",
@@ -114,6 +118,23 @@ def main():
         },
     }
     print(json.dumps(result))
+    # committed-data rule (VERDICT r3 weak #1 / r4 weak #1): every headline
+    # measurement lands in bench_data/flagship.jsonl, not just the driver's
+    # BENCH_r*.json snapshot
+    try:
+        import datetime
+        import os
+
+        row = dict(result)
+        row["timestamp"] = datetime.datetime.now().isoformat(
+            timespec="seconds"
+        )
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_data", "flagship.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+    except OSError:
+        pass  # read-only checkout: the printed line is still the record
 
 
 if __name__ == "__main__":

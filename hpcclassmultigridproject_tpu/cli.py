@@ -49,12 +49,26 @@ def _solver_args(p: argparse.ArgumentParser) -> None:
                    default="rediscretize")
     p.add_argument("--cycle-mode", choices=["adaptive", "fixed", "fmg"],
                    default="adaptive")
-    p.add_argument("--num-cycles", type=int, default=2)
+    p.add_argument("--num-cycles", default=2,
+                   type=lambda s: None if s == "auto" else int(s),
+                   help="cycles per solve in fixed mode; 'auto' derives the "
+                        "count from the diagonal-dominance model "
+                        "(config.py::resolved_num_cycles)")
     p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default="auto")
     p.add_argument("--certify-every", type=int, default=0,
                    help="delta mode: rigorous refine-dtype certificate every "
                         "k-th step inside the timed run (0 = final-step "
                         "epilogue only)")
+    p.add_argument("--device-build", dest="device_build", default=None,
+                   action="store_true",
+                   help="generate the model on device from iota (auto at "
+                        "n >= 4096; see SolverConfig.device_build)")
+    p.add_argument("--host-build", dest="device_build", action="store_false",
+                   help="force the host-numpy (oracle) model build")
+    p.add_argument("--sharded-overlap", action="store_true",
+                   help="rows-sharded fused smoothing: overlap the deep-halo "
+                        "ICI round with the halo-independent interior kernel "
+                        "(SolverConfig.sharded_overlap)")
 
 
 def _build_model(args):
@@ -89,6 +103,8 @@ def _build_model(args):
         backend=args.backend,
         delta_form=delta,
         certify_every=getattr(args, "certify_every", 0),
+        device_build=getattr(args, "device_build", None),
+        sharded_overlap=getattr(args, "sharded_overlap", False),
     )
     return AdvectionDiffusion(problem, solver)
 

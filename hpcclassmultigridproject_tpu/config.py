@@ -78,7 +78,13 @@ class SolverConfig:
                                       # "fmg": full multigrid / nested iteration — coarse-
                                       # to-fine opening + `num_cycles` cycles per level
                                       # (mg/cycle.py::fmg_solve; new capability)
-    num_cycles: int = 2               # cycles per solve in fixed mode
+    num_cycles: Optional[int] = 2     # cycles per solve in fixed mode;
+                                      # None = derive at trace time from the
+                                      # diagonal-dominance model
+                                      # (resolved_num_cycles — the automatic
+                                      # cycle-count safety the adaptive outer
+                                      # loop cannot provide in delta mode,
+                                      # VERDICT r4 next #4)
     refine_dtype: Optional[jnp.dtype] = None
                                       # mixed-precision iterative refinement: when set
                                       # (e.g. float64), u/rhs/residuals live in this
@@ -99,6 +105,23 @@ class SolverConfig:
                                       # slim at n >= 8192, where the six f64
                                       # coefficient arrays would cost 3.3+ GB
                                       # of HBM for a few certificate stencils
+    device_build: Optional[bool] = None
+                                      # generate the model (all levels'
+                                      # coefficient/velocity fields, the
+                                      # high-precision operator and u0) ON
+                                      # DEVICE from iota + the analytic
+                                      # formulas (mg/levels.py::
+                                      # build_hierarchy_device) instead of
+                                      # host numpy.  None = auto: device at
+                                      # n >= 4096 (where the host build is
+                                      # transfer-bound — 776 s at n=8192 on
+                                      # the tunneled chip) when the coarse
+                                      # operator permits.  Under a mesh the
+                                      # levels are born sharded: no host
+                                      # ever materializes a full-size array.
+                                      # The numpy build remains the x64
+                                      # oracle (agreement is ulp-level:
+                                      # XLA sin/cos vs libm).
     sharded_overlap: bool = False     # rows-sharded fused smoothing: hide the
                                       # deep-halo ICI round behind the halo-
                                       # independent interior kernel (three
@@ -137,6 +160,56 @@ class SolverConfig:
                 "delta_form requires refine_dtype set and cycle_mode='fixed' "
                 "(the f64 state accumulator and a static cycle count)"
             )
+        if self.certify_every and not self.delta_form:
+            # only the delta stepper implements mid-run rigorous
+            # certification; silently ignoring the request would let a user
+            # believe they got certificates they didn't (ADVICE r4 #2)
+            import warnings
+
+            warnings.warn(
+                "certify_every is only honored by the delta stepper "
+                "(delta_form=True); this configuration will compute no "
+                "mid-run rigorous certificates",
+                stacklevel=2,
+            )
+
+    def resolved_num_cycles(self, dt: float, nu: float, h: float) -> int:
+        """Cycle count for fixed/delta modes when `num_cycles` is None (auto):
+        the smallest k whose predicted residual clears tol/2, from the
+        diagonal-dominance model calibrated on chip (RESULTS.md round 4/5).
+
+        The CN operator's off-diagonal mass is δ = 4r|ν| with r = dt/(2h²)
+        (gs.cpp:9-20; at the reference defaults dt = h/10, δ = 8e-5·n — the
+        operator loses diagonal dominance as n grows, and the one-cycle
+        residual grows with it).  Measured one-cycle rigorous f64
+        certificates (bench_data/sweep_tpu_delta.jsonl):
+
+            n=1024  δ=0.082  7.5e-8      n=4096  δ=0.328  7.8e-7
+            n=2048  δ=0.164  7.6e-8      n=8192  δ=0.655  8.8e-5 (FAILS 1e-6)
+
+        Power-law fit through the two unfloored anchors: rel1(δ) = A·δ^p with
+        p = ln(8.8e-5/7.8e-7)/ln 2 ≈ 6.82, A ≈ 1.58e-3; small-δ floor 1.2e-7
+        (the f32-solve resolution, measured 7.5–9.3e-8 across sizes).  A 4×
+        safety factor on the power-law term makes the prediction one-sided;
+        k cycles contract to max(floor, rel1^k).  Calibrated at niter=3
+        (the reference NITER); fewer smoothing sweeps get one extra cycle.
+
+        This reproduces every measured choice: 1 cycle at n≤2048, 2 at
+        n=4096 (whose measured 7.8e-7 sits over tol/2 — previously shipped
+        uncertified at 1 cycle) and n=8192, and escalates further at
+        n=16384 (δ>1: no longer diagonally dominant)."""
+        delta_dom = 4.0 * (0.5 * dt / (h * h)) * abs(nu)
+        rel1 = max(1.2e-7, 4.0 * 1.58e-3 * delta_dom ** 6.82)
+        target = self.tol / 2.0
+        if rel1 >= 0.5:
+            # far outside the calibrated (diagonally-dominant) regime —
+            # cap and let the certificate warnings catch any shortfall
+            k = 6
+        else:
+            k = max(1, math.ceil(math.log(target) / math.log(rel1)))
+        if self.niter < 3:
+            k += 1
+        return min(k, 6)
 
     def resolved_num_levels(self, n: int) -> int:
         if self.num_levels is not None:

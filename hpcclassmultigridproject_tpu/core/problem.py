@@ -67,6 +67,82 @@ def rotating_velocity(
     return jnp.asarray(v1, dtype=dtype), jnp.asarray(v2, dtype=dtype)
 
 
+# ---------------------------------------------------------------------------
+# device-side (iota) field generation — the shard-aware construction path
+#
+# The analytic problem fields (multigrid.cpp:219-223) are pure formulas of
+# the node coordinates, so they can be generated ON DEVICE from
+# broadcasted_iota with zero host↔device transfer — and, generated under a
+# jit with out_shardings, each device/process materializes ONLY its own
+# shard (VERDICT r4 next #3: `make_global` needs the full array on every
+# host — ~2.2 GB per f64 array at n=16384 — and the ~5 MB/s tunnel made the
+# n=8192 host build a 776 s transfer wall).  These are trace-time builders
+# meant to be called INSIDE a jitted constructor (mg/levels.py::
+# build_hierarchy_device); the numpy twins above remain the x64 oracle
+# (agreement is ulp-level, not bit-exact: XLA's sin/cos vs libm).
+# ---------------------------------------------------------------------------
+
+
+def _iota_coords(n: int, shape: tuple[int, int], compute_dtype):
+    """x[i,j] = i*h, y[i,j] = j*h on the padded grid, plus the row/col index
+    planes — the device twin of `_node_coords` (same correctly-rounded i*h
+    products)."""
+    import jax
+
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    h = jnp.asarray(1.0 / n, compute_dtype)
+    return r, c, r.astype(compute_dtype) * h, c.astype(compute_dtype) * h
+
+
+def rotating_velocity_trace(n, kx, ky, shape, compute_dtype, out_dtype):
+    """Trace-time padded rotating-velocity fields (multigrid.cpp:222-223):
+    zero outside the logical (n+1)² node grid (the padded-layout invariant
+    `_np_pad_field` establishes by zero-padding)."""
+    r, c, x, y = _iota_coords(n, shape, compute_dtype)
+    inside = (r <= n) & (c <= n)
+    zero = jnp.asarray(0, compute_dtype)
+    v1 = jnp.where(inside, -ky * jnp.sin(kx * x) * jnp.cos(ky * y), zero)
+    v2 = jnp.where(inside, kx * jnp.cos(kx * x) * jnp.sin(ky * y), zero)
+    return v1.astype(out_dtype), v2.astype(out_dtype)
+
+
+def gaussian_u0_trace(n, x0, y0, sigma, shape, compute_dtype, out_dtype):
+    """Trace-time padded Gaussian IC (multigrid.cpp:219 + full boundary
+    zeroing, SURVEY §2.9.4): zero on the boundary ring AND outside the
+    logical grid."""
+    r, c, x, y = _iota_coords(n, shape, compute_dtype)
+    interior = (r >= 1) & (r <= n - 1) & (c >= 1) & (c <= n - 1)
+    u0 = jnp.exp(-sigma * ((x - x0) ** 2 + (y - y0) ** 2))
+    return jnp.where(interior, u0, jnp.asarray(0, compute_dtype)).astype(
+        out_dtype
+    )
+
+
+def gaussian_u0_padded_device(
+    n: int,
+    x0: float = 0.2,
+    y0: float = 0.4,
+    sigma: float = 100.0,
+    dtype=jnp.float32,
+    sharding=None,
+) -> jnp.ndarray:
+    """Padded-layout Gaussian IC generated on device (one jitted iota
+    program — the device twin of pad_field(gaussian_u0(...))); with
+    `sharding`, born sharded with no host materialization anywhere."""
+    import jax
+
+    from hpcclassmultigridproject_tpu.core.layout import padded_shape
+
+    cdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    shape = padded_shape(n)
+
+    def build():
+        return gaussian_u0_trace(n, x0, y0, sigma, shape, cdtype, dtype)
+
+    return jax.jit(build, out_shardings=sharding)()
+
+
 class CNCoefficients(NamedTuple):
     """Interior-node coefficient fields of the CN 5-point operators.
 

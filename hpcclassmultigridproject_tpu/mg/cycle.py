@@ -49,7 +49,20 @@ def _get_smoother(cfg: SolverConfig):
 # Pallas smoother on TPU.  Measured on v5e (RESULTS.md): the fused kernel
 # wins at EVERY size — 2.9x at n=32, 1.3x at n=1024, 4.5x at n=2048 (where
 # XLA's fusion of the 6-color-pass jnp form falls apart) — so no floor.
+# Applies to ISOLATED / top-level smooth blocks, where the kernel's per-op
+# win is real.
 _AUTO_PALLAS_MIN_N = 0
+
+# IN-CYCLE coarse levels are a different trade: the round-4 tower A/B
+# (RESULTS.md, bench_data/tower_sweep.jsonl) measured the N=1024 flagship at
+# 59.8 ms with per-level Pallas on every coarse level vs 53.6 ms letting XLA
+# fuse the whole jnp sub-tower below n=512 — inside a cycle the per-level
+# pallas_call boundaries defeat XLA's cross-op fusion of the tiny levels and
+# pay ~25 launch overheads.  When the coarse-tower megakernel is eligible it
+# wins outright (49.8 ms); when it is NOT (W-cycles, full weighting,
+# Galerkin coarse operators, GS coarse mode), auto routes in-cycle levels at
+# or below this extent to the jnp path instead (VERDICT r4 next #2).
+_AUTO_JNP_MAX_INCYCLE_N = 512
 
 # Fold the prolonged coarse correction into the post-smooth kernel's window
 # reads (fused_rb_sweeps(corr=...)) instead of a separate u+corr add pass.
@@ -109,7 +122,8 @@ def _tower_eligible(cfg: SolverConfig, levels, lvl: int, shardings,
     return jax.default_backend() == "tpu"
 
 
-def _pallas_backend_ok(cfg: SolverConfig, level: Level) -> bool:
+def _pallas_backend_ok(cfg: SolverConfig, level: Level,
+                       in_cycle: bool = False) -> bool:
     """Backend/dtype/hardware gate shared by the single-device and sharded
     fused-Pallas paths (the operator-shape gates differ per path: the
     single-device kernel handles both 5-point and Galerkin 9-point levels
@@ -139,8 +153,11 @@ def _pallas_backend_ok(cfg: SolverConfig, level: Level) -> bool:
         return False
     # auto: only where measured profitable — real TPU (explicit
     # backend="pallas" is the interpret-mode test hook), f32, level at least
-    # the measured floor
+    # the measured floor; IN-CYCLE coarse levels below the measured
+    # tower-ineligible crossover go jnp (see _AUTO_JNP_MAX_INCYCLE_N)
     if level.n < _AUTO_PALLAS_MIN_N:
+        return False
+    if in_cycle and level.n <= _AUTO_JNP_MAX_INCYCLE_N:
         return False
     if np.dtype(cfg.dtype).itemsize != 4:
         return False
@@ -149,13 +166,18 @@ def _pallas_backend_ok(cfg: SolverConfig, level: Level) -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _pallas_eligible(cfg: SolverConfig, level: Level, sharded: bool) -> bool:
+def _pallas_eligible(cfg: SolverConfig, level: Level, sharded: bool,
+                     in_cycle: bool = False) -> bool:
     """Single-device fused kernel: additionally requires an unsharded level
     (pallas_call cannot be block-partitioned by GSPMD; sharded levels go
-    through _pallas_sharded_eligible's explicit shard_map path instead)."""
+    through _pallas_sharded_eligible's explicit shard_map path instead).
+
+    `in_cycle=True` marks a coarse-level smooth block inside an mg_cycle
+    recursion (lvl > 0): auto additionally applies the measured jnp
+    crossover (_AUTO_JNP_MAX_INCYCLE_N)."""
     if sharded:
         return False
-    return _pallas_backend_ok(cfg, level)
+    return _pallas_backend_ok(cfg, level, in_cycle=in_cycle)
 
 
 def _pallas_sharded_eligible(cfg: SolverConfig, level: Level, sharding) -> bool:
@@ -186,7 +208,8 @@ def _pallas_sharded_eligible(cfg: SolverConfig, level: Level, sharding) -> bool:
 def _smooth_block(cfg: SolverConfig, level: Level, u, rhs, nsweeps: int,
                   want_residual: bool, sharding=None,
                   u_is_zero: bool = False, corr=None,
-                  residual_rows_decimated: bool = False):
+                  residual_rows_decimated: bool = False,
+                  in_cycle: bool = False):
     """`nsweeps` smoother sweeps, optionally fused with the trailing residual.
 
     backend "pallas" routes red–black GS through the fused Pallas kernel
@@ -206,7 +229,7 @@ def _smooth_block(cfg: SolverConfig, level: Level, u, rhs, nsweeps: int,
     levels are coarse — they agglomerate under distribution anyway).
     """
     sharded = sharding is not None
-    if _pallas_eligible(cfg, level, sharded):
+    if _pallas_eligible(cfg, level, sharded, in_cycle=in_cycle):
         from hpcclassmultigridproject_tpu.ops.pallas.smoother import fused_rb_sweeps
 
         if corr is not None and _FUSE_CORR:
@@ -348,11 +371,13 @@ def mg_cycle(
             # halves the residual write + the restrict read — round 4)
             res_dec = (_RESTRICT_DEC and cfg.restriction == "inject"
                        and not sharded
-                       and _pallas_eligible(cfg, level, sharded))
+                       and _pallas_eligible(cfg, level, sharded,
+                                            in_cycle=lvl > 0))
             u, r0 = _smooth_block(cfg, level, u, rhs, cfg.niter, True,
                                   sharding=shard if sharded else None,
                                   u_is_zero=u_is_zero and sh == 0,
-                                  residual_rows_decimated=res_dec)
+                                  residual_rows_decimated=res_dec,
+                                  in_cycle=lvl > 0)
             if res_dec:
                 from hpcclassmultigridproject_tpu.ops.padded import (
                     restrict_inject_rows_decimated,
@@ -376,6 +401,7 @@ def mg_cycle(
                 want_final_residual and last_pass,
                 sharding=shard if sharded else None,
                 corr=corr,
+                in_cycle=lvl > 0,
             )
     if want_final_residual:
         return u, res

@@ -244,6 +244,162 @@ def build_fine_level(
     )
 
 
+# ---------------------------------------------------------------------------
+# device-side (shard-aware) construction
+#
+# The host-numpy builders above are the x64 ORACLE and the default at small
+# n.  At large n they hit two walls the reference never faces (VERDICT r4
+# next #3): host→device transfer (~5 MB/s on the tunneled chip — 776 s to
+# ship the n=8192 model) and full-size host materialization
+# (parallel/distributed.py::make_global needs the whole array on EVERY
+# process — ~2.2 GB per f64 array at n=16384).  The problem fields are
+# analytic (core/problem.py), and injection restriction of node-sampled
+# analytic fields IS direct sampling at the coarse nodes (the module
+# docstring above), so every level can be generated independently on device
+# from iota — ONE jitted program, zero transfer, and with `shardings` each
+# device/process materializes only its own slab.  Agreement with the numpy
+# build is ulp-level (XLA sin/cos vs libm), pinned by tests/test_levels_
+# device.py; the numpy path remains the oracle.
+# ---------------------------------------------------------------------------
+
+
+def _hierarchy_meta(n: int, num_levels: int, dt: float, nu: float):
+    meta = []
+    for lvl in range(num_levels):
+        nl = n >> lvl
+        if nl < 2:
+            raise ValueError(
+                f"num_levels={num_levels} too deep for n={n} (level {lvl} has n={nl})"
+            )
+        h = 1.0 / n * (1 << lvl)
+        meta.append((nl, h))
+    return meta
+
+
+def build_hierarchy_device(
+    n: int,
+    kx: float,
+    ky: float,
+    dt: float,
+    nu: float,
+    num_levels: int,
+    dtype=jnp.float32,
+    coarse_mode: str = "gs",
+    coarse_operator: str = "rediscretize",
+    shardings=None,
+) -> tuple[Level, ...]:
+    """`build_hierarchy` generated entirely on device: one jitted program
+    emits every level's (aa..dd, v1, v2) from iota + the analytic formulas
+    (multigrid.cpp:222-223 via core/problem.py::rotating_velocity_trace).
+
+    `shardings` (optional, one per level — parallel/sharding.py::
+    level_shardings) become the program's out_shardings: under a mesh, each
+    device materializes only its shard of each level, and under a
+    multi-process runtime no host ever holds a full-size array (the
+    make_global lifting path is bypassed entirely).
+
+    Galerkin coarse operators need the fine operator's RAP product and keep
+    the host build (coarse levels are small and agglomerate anyway)."""
+    if coarse_operator != "rediscretize":
+        raise ValueError(
+            "build_hierarchy_device supports coarse_operator='rediscretize' "
+            "only (Galerkin RAP levels are built host-side — they are coarse "
+            "and replicated under distribution)"
+        )
+    from hpcclassmultigridproject_tpu.core.problem import (
+        rotating_velocity_trace,
+    )
+
+    meta = _hierarchy_meta(n, num_levels, dt, nu)
+    cdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    def build():
+        out = []
+        for nl, h in meta:
+            shape = padded_shape(nl)
+            v1, v2 = rotating_velocity_trace(nl, kx, ky, shape, cdtype,
+                                             cdtype)
+            out.append(
+                _device_cn_coefficients(
+                    v1, v2, n=nl, dt=dt, nu=nu, h=h, dtype=jnp.dtype(dtype)
+                )
+            )
+        return tuple(out)
+
+    out_sh = None
+    if shardings is not None:
+        out_sh = tuple(tuple([s] * 6) for s in shardings)
+    leaves = jax.jit(build, out_shardings=out_sh)()
+
+    levels = []
+    for (nl, h), (aa, bb, cc, dd, v1d, v2d) in zip(meta, leaves):
+        rr = 0.5 * dt / (h * h)
+        levels.append(Level(
+            aa=aa, bb=bb, cc=cc, dd=dd, v1=v1d, v2=v2d, a_inv=None,
+            n=nl, h=h, dt=dt, nu=nu,
+            diag_a=float(1.0 - 4.0 * rr * nu),
+            diag_b=float(1.0 + 4.0 * rr * nu),
+            cn_from_v=True,
+        ))
+    if coarse_mode == "dense":
+        from hpcclassmultigridproject_tpu.sparse.galerkin import (
+            attach_dense_inverse,
+        )
+
+        # the coarsest level is small (32² at the reference heuristic) and
+        # replicated under distribution; the host round-trip for its dense
+        # inverse is a few hundred KB
+        levels[-1] = attach_dense_inverse(levels[-1])
+    return tuple(levels)
+
+
+def build_fine_level_device(
+    n: int,
+    kx: float,
+    ky: float,
+    dt: float,
+    nu: float,
+    dtype=jnp.float64,
+    store_coefficients: bool = True,
+    sharding=None,
+) -> Level:
+    """`build_fine_level` (the high-precision / slim operator) generated on
+    device — see build_hierarchy_device.  With store_coefficients=False only
+    (v1, v2) are emitted (the slim n>=8192 form)."""
+    from hpcclassmultigridproject_tpu.core.problem import (
+        rotating_velocity_trace,
+    )
+
+    h = 1.0 / n
+    rr = 0.5 * dt / (h * h)
+    cdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    shape = padded_shape(n)
+
+    def build():
+        v1, v2 = rotating_velocity_trace(n, kx, ky, shape, cdtype, cdtype)
+        if store_coefficients:
+            return _device_cn_coefficients(
+                v1, v2, n=n, dt=dt, nu=nu, h=h, dtype=jnp.dtype(dtype)
+            )
+        return v1.astype(dtype), v2.astype(dtype)
+
+    n_out = 6 if store_coefficients else 2
+    out_sh = None if sharding is None else tuple([sharding] * n_out)
+    leaves = jax.jit(build, out_shardings=out_sh)()
+    if store_coefficients:
+        aa, bb, cc, dd, v1d, v2d = leaves
+    else:
+        aa = bb = cc = dd = None
+        v1d, v2d = leaves
+    return Level(
+        aa=aa, bb=bb, cc=cc, dd=dd, v1=v1d, v2=v2d, a_inv=None,
+        n=n, h=h, dt=dt, nu=nu,
+        diag_a=float(1.0 - 4.0 * rr * nu),
+        diag_b=float(1.0 + 4.0 * rr * nu),
+        cn_from_v=True,
+    )
+
+
 def build_hierarchy(
     v1: jnp.ndarray,
     v2: jnp.ndarray,

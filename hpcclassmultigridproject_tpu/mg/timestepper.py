@@ -23,7 +23,10 @@ from hpcclassmultigridproject_tpu.config import SolverConfig
 from hpcclassmultigridproject_tpu.mg.cycle import fmg_solve, mg_solve, mg_solve_fixed
 from hpcclassmultigridproject_tpu.mg.levels import Level
 from hpcclassmultigridproject_tpu.mg.refine import refined_solve
-from hpcclassmultigridproject_tpu.ops.padded import compute_rhs, rhs_and_residual0
+from hpcclassmultigridproject_tpu.ops.padded import (
+    compute_rhs,
+    rhs_and_residual0_auto,
+)
 
 
 def timestep(
@@ -52,9 +55,11 @@ def timestep(
             stats,
         )
     if fine_hi is not None:
-        # precomputed coefficients on purpose: the from_v opening measured
-        # slower in emulated f64 (RESULTS.md "negative results")
-        rhs, r0 = rhs_and_residual0(fine_hi, u)
+        # precomputed coefficients on purpose when stored: the from_v
+        # opening measured slower in emulated f64 (RESULTS.md "negative
+        # results"); SLIM levels (aa=None, auto at n>=8192) dispatch to the
+        # from_v form — bit-identical in f64 (ADVICE r4 #1)
+        rhs, r0 = rhs_and_residual0_auto(fine_hi, u)
         return refined_solve(
             levels, fine_hi, u, rhs, cfg, shardings=shardings, r0=r0
         )

@@ -157,6 +157,18 @@ def residual_auto(level, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     return residual(level, u, rhs)
 
 
+def rhs_and_residual0_auto(level, u: jnp.ndarray):
+    """`rhs_and_residual0` that tolerates SLIM levels (aa is None), routing
+    them through the from_v form — bit-identical in IEEE f64, like
+    `neighbor_sum_auto`.  The non-delta refined opening (mg/timestepper.py)
+    must use this dispatch: models auto-build a slim high-precision operator
+    at n >= 8192 (models/advection_diffusion.py), where the precomputed form
+    would dereference aa=None at trace time (ADVICE r4 #1)."""
+    if level.aa is None:
+        return rhs_and_residual0_from_v(level, u)
+    return rhs_and_residual0(level, u)
+
+
 def residual(coef, u: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """res = rhs − A·u (gs.cpp:55-83); zero outside the interior by the
     coefficient-masking invariant (the Galerkin diag is 1 outside the

@@ -372,7 +372,20 @@ def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False,
         # output blocks divisible by 8 -> bh must be a multiple of 16
         # (n=4096: 104 -> 96, ~1% extra halo recompute; other sizes already
         # are multiples of 16)
-        bh = max(16, bh // 16 * 16)
+        if bh < 16:
+            # the VMEM-capped band is thinner than the 16-row decimation
+            # multiple (tiny probe budgets) — forcing 16 would double the
+            # modeled working set past the cap (ADVICE r4 #3).  Degrade:
+            # full-resolution residual in-kernel, row decimation outside
+            # (sublane-dim stride-2 slice — cheap, and bit-identical to the
+            # in-kernel _dec, which also takes rows 0,2,4,...).
+            u_out, res = _fused(
+                *arrays, nsweeps=nsweeps, diag_a=diag_a, want_residual=True,
+                cn=cn, zero_init=zero_init, add_corr=add_corr,
+                with_row_off=with_row_off, nine=nine, res_rows_dec=False,
+            )
+            return u_out, res[::2, :][: rows // 2]
+        bh = bh // 16 * 16
     footprint = _assert_vmem_fit(bh, cols, arrays[0].dtype.itemsize, h,
                                  n_in=n_win, n_out=n_out, temps=temps)
     grid = pl.cdiv(rows, bh)

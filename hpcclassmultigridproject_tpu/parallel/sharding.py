@@ -18,6 +18,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from hpcclassmultigridproject_tpu.mg.levels import Level
 
 
+def level_shardings_for_ns(
+    ns,
+    mesh: Mesh,
+    min_local: int = 64,
+    layout: str = "2d",
+) -> tuple[NamedSharding, ...]:
+    """`level_shardings` from the per-level grid extents alone — usable
+    BEFORE any Level exists, which the shard-aware device construction
+    requires (the levels are born under these shardings,
+    mg/levels.py::build_hierarchy_device)."""
+    ax_x, ax_y = mesh.axis_names
+    nx, ny = mesh.shape[ax_x], mesh.shape[ax_y]
+    ndev = nx * ny
+    if layout == "rows":
+        part = P((ax_x, ax_y), None)
+    elif layout == "2d":
+        part = P(ax_x, ax_y)
+    else:
+        raise ValueError(f"unknown layout {layout!r} (want '2d' or 'rows')")
+    out = []
+    for n in ns:
+        if layout == "rows":
+            partitioned = (n + 1) // ndev >= min_local
+        else:
+            local_x = (n + 1) // max(nx, 1)
+            local_y = (n + 1) // max(ny, 1)
+            partitioned = min(local_x, local_y) >= min_local
+        out.append(
+            NamedSharding(mesh, part)
+            if partitioned and ndev > 1
+            else NamedSharding(mesh, P())
+        )
+    return tuple(out)
+
+
 def level_shardings(
     levels: tuple[Level, ...],
     mesh: Mesh,
@@ -38,33 +73,15 @@ def level_shardings(
         fused Pallas smoother requires (parallel/pallas_halo.py — one deep-
         halo ppermute round per smooth block instead of 2·nsweeps GSPMD
         rounds); the jnp/GSPMD kernels run fine under it too.
+
+    Agglomeration rationale for "rows": below min_local rows per device
+    there is more halo than interior, and below the fused kernel's cascade
+    depth the Pallas path would be barred anyway
+    (mg/cycle.py::_pallas_sharded_eligible).
     """
-    ax_x, ax_y = mesh.axis_names
-    nx, ny = mesh.shape[ax_x], mesh.shape[ax_y]
-    ndev = nx * ny
-    if layout == "rows":
-        part = P((ax_x, ax_y), None)
-    elif layout == "2d":
-        part = P(ax_x, ax_y)
-    else:
-        raise ValueError(f"unknown layout {layout!r} (want '2d' or 'rows')")
-    out = []
-    for level in levels:
-        if layout == "rows":
-            # agglomerate when per-device row slabs get thin: below
-            # min_local rows there is more halo than interior, and below the
-            # fused kernel's cascade depth the Pallas path would be barred
-            # anyway (mg/cycle.py::_pallas_sharded_eligible)
-            partitioned = (level.n + 1) // ndev >= min_local
-        else:
-            local_x = (level.n + 1) // max(nx, 1)
-            local_y = (level.n + 1) // max(ny, 1)
-            partitioned = min(local_x, local_y) >= min_local
-        if partitioned and ndev > 1:
-            out.append(NamedSharding(mesh, part))
-        else:
-            out.append(NamedSharding(mesh, P()))
-    return tuple(out)
+    return level_shardings_for_ns(
+        [level.n for level in levels], mesh, min_local, layout
+    )
 
 
 def constrain(x, sharding):

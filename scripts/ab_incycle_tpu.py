@@ -1,18 +1,26 @@
-"""Price the Galerkin-coarse-operator configuration on-chip (round 4).
+"""A/B the round-5 in-cycle coarse routing on tower-INELIGIBLE configs.
 
-coarse_operator='galerkin' builds every coarse level as the exact RAP
-product — 9-point operators with varying diagonals.  Round 3 left those
-levels on the jnp smoother; round 4's nine-band fused kernel smooths them
-in Pallas.  This script measures the full N=1024 flagship-delta workload
-under (a) rediscretized coarse operators (production), (b) Galerkin with
-the nine-band fused kernel, (c) Galerkin with the jnp fallback (floor
-pushed above every coarse level) — quantifying both the Galerkin config's
-total cost and what the nine-band kernel buys inside it.
+Round 4 measured that per-level banded Pallas on the coarse tower is ~6 ms
+per flagship run WORSE than letting XLA fuse the jnp sub-tower (59.8 vs
+53.6 ms) but only propagated the lesson to the tower path; W-cycles
+(cycle_shape=2, a first-class reference mode — multigrid.cpp:35),
+full weighting and Galerkin coarse operators kept the measured-worst
+arrangement (VERDICT r4 weak #3 / next #2).  Round 5 added the
+_AUTO_JNP_MAX_INCYCLE_N crossover (mg/cycle.py); this script prices it on
+the configs it exists for, one full flagship-delta workload per config:
 
-Usage: python -u scripts/ab_galerkin_tpu.py [--n 1024] [--reps 5]
+    W-cycle  (cycle_shape=2)          in-cycle jnp 512  vs  0 (round-4)
+    full-weighting restriction        in-cycle jnp 512  vs  0
+
+(The Galerkin pair lives in ab_galerkin_tpu.py.)  Appends rows to
+bench_data/incycle.jsonl.
+
+Usage: python -u scripts/ab_incycle_tpu.py [--n 1024] [--reps 5]
 """
 
 import argparse
+import datetime
+import json
 import os
 import sys
 import time
@@ -41,31 +49,25 @@ def main():
 
     print(f"device: {jax.devices()[0]}", flush=True)
 
-    def build(coarse_operator, floor, incyc):
-        cyc._AUTO_PALLAS_MIN_N = floor
+    def build(label, incyc, **solver_kw):
         cyc._AUTO_JNP_MAX_INCYCLE_N = incyc
         m = AdvectionDiffusion(
             ProblemConfig(n=args.n),
             SolverConfig(dtype=jnp.float32, refine_dtype=jnp.float64,
                          tol=1e-6, cycle_mode="fixed", num_cycles=1,
-                         coarse_mode="dense", delta_form=True,
-                         coarse_operator=coarse_operator),
+                         coarse_mode="dense", delta_form=True, **solver_kw),
         )
         uT, st = m.run(warn=False)
         np.asarray(jnp.ravel(uT)[-2])
         return m
 
-    # (label, coarse_operator, pallas floor, in-cycle jnp crossover)
     configs = [
-        ("rediscretize(prod)", "rediscretize", 0, 512),
-        # round-4 arrangement: per-level nine-band Pallas on every coarse
-        # Galerkin level (in-cycle routing disabled)
-        ("galerkin+9band", "galerkin", 0, 0),
-        # round-5 production routing: coarse levels <= 512 go jnp in-cycle
-        ("galerkin+auto(r5)", "galerkin", 0, 512),
-        ("galerkin+jnp-coarse", "galerkin", args.n, 512),
+        ("wcycle+incycle-jnp", 512, dict(cycle_shape=2)),
+        ("wcycle+all-pallas(r4)", 0, dict(cycle_shape=2)),
+        ("fullweight+incycle-jnp", 512, dict(restriction="full")),
+        ("fullweight+all-pallas(r4)", 0, dict(restriction="full")),
     ]
-    models = {lab: build(op, fl, ic) for lab, op, fl, ic in configs}
+    models = {lab: build(lab, ic, **kw) for lab, ic, kw in configs}
     best = {lab: 9e9 for lab in models}
     for _ in range(args.reps):
         for lab, m in models.items():
@@ -73,10 +75,7 @@ def main():
             uT, st = m.run(warn=False)
             np.asarray(jnp.ravel(uT)[-2])
             best[lab] = min(best[lab], time.perf_counter() - t0)
-    import datetime
-    import json
-
-    out = os.path.join(_REPO_ROOT, "bench_data", "galerkin.jsonl")
+    out = os.path.join(_REPO_ROOT, "bench_data", "incycle.jsonl")
     for lab, m in models.items():
         uT, st = m.run(warn=False)
         row = {
@@ -90,8 +89,6 @@ def main():
                 timespec="seconds"
             ),
         }
-        # committed-data rule (VERDICT r4 weak #2): the pricing lands in
-        # bench_data, not just stdout
         with open(out, "a") as f:
             f.write(json.dumps(row) + "\n")
         print(json.dumps(row), flush=True)

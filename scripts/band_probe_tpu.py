@@ -88,16 +88,44 @@ def main():
                     help="skip the jnp crosscheck (its temporaries OOM at "
                          "n=16384; kernel equivalence is pinned at smaller "
                          "sizes and by tests)")
+    ap.add_argument("--check-slab", type=int, default=0,
+                    help="crosscheck S mid-grid rows against a jnp reference "
+                         "computed on a (S + 2*8)-row sub-slab — the "
+                         "full-size jnp reference RESOURCE_EXHAUSTs at "
+                         "n=16384, but the kernel's 6-pass cascade has a "
+                         "7-row dependency radius, so an 8-row-margin slab "
+                         "reproduces the interior rows exactly (the band-"
+                         "validity argument; VERDICT r4 weak #4)")
+    ap.add_argument("--interpret", action="store_true",
+                    help="interpret-mode pallas on CPU (local validation of "
+                         "the probe's own logic, e.g. the slab crosscheck)")
+    ap.add_argument("--device-build", action="store_true",
+                    help="build the level on device from iota (mg/levels.py"
+                         "::build_fine_level_device) — no host transfer; at "
+                         "n=16384 the host build ships ~2.1 GB over the "
+                         "~5 MB/s tunnel")
     args = ap.parse_args()
 
+    if args.interpret:
+        psm.INTERPRET = True
     psm._VMEM_BUDGET = int(args.budget_mb * 2**20)
     psm._VMEM_LIMIT = int(args.limit_mb * 2**20)
 
     n = args.n
-    v1, v2 = rotating_velocity(n, dtype=jnp.float32)
-    level = build_fine_level(v1, v2, (1.0 / n) / 10, -4e-4,
-                             dtype=jnp.float32,
-                             store_coefficients=not args.slim)
+    if args.device_build:
+        from hpcclassmultigridproject_tpu.mg.levels import (
+            build_fine_level_device,
+        )
+
+        level = build_fine_level_device(
+            n, np.pi, np.pi, (1.0 / n) / 10, -4e-4, dtype=jnp.float32,
+            store_coefficients=not args.slim,
+        )
+    else:
+        v1, v2 = rotating_velocity(n, dtype=jnp.float32)
+        level = build_fine_level(v1, v2, (1.0 / n) / 10, -4e-4,
+                                 dtype=jnp.float32,
+                                 store_coefficients=not args.slim)
     u = pad_field(jnp.zeros((n + 1, n + 1), jnp.float32).at[1:-1, 1:-1].set(1.0))
     rhs = jnp.zeros_like(u)
     rows, cols = u.shape
@@ -134,9 +162,54 @@ def main():
             u = pops.rb_gauss_seidel(level, u, rhs)
         return u, pops.residual(level, u, rhs)
 
-    if args.no_check:
-        err = None
-    else:
+    err = None
+    slab_rows = None
+    if args.check_slab:
+        # kernel on the FULL array; jnp reference on a mid-grid sub-slab
+        # with identical operands (the device level's own v1/v2 rows) — the
+        # artificial slab edges corrupt at most 1 row per color pass, so
+        # with an 8-row margin (> the 7-row cascade radius) the compared
+        # center rows are exactly what the full-size jnp run would produce.
+        # An EVEN slab start keeps the local (i+j) color parity global.
+        m0 = 8
+        S = args.check_slab
+        r0 = (rows // 2) // 2 * 2
+        lo = r0 - m0
+        sl = lambda a: jax.lax.slice_in_dim(a, lo, r0 + S + m0, axis=0)
+        v1s = np.asarray(sl(level.v1))
+        v2s = np.asarray(sl(level.v2))
+        # precomputed-coefficient slab level: the GLOBAL interior mask
+        # travels in the coefficient data (zero outside rows 1..n-1), so
+        # the local-index jnp path needs no row offset
+        rr_c = 0.5 * level.dt / (level.h * level.h)
+        half_h = 0.5 * level.h
+        gmask = (
+            ((np.arange(lo, r0 + S + m0)[:, None] >= 1)
+             & (np.arange(lo, r0 + S + m0)[:, None] <= n - 1))
+            & ((np.arange(cols)[None, :] >= 1)
+               & (np.arange(cols)[None, :] <= n - 1))
+        ).astype(np.float32)
+        from hpcclassmultigridproject_tpu.mg.levels import Level as _Lvl
+
+        slab_level = _Lvl(
+            aa=jnp.asarray(rr_c * (-v2s * half_h + level.nu) * gmask),
+            bb=jnp.asarray(rr_c * (v2s * half_h + level.nu) * gmask),
+            cc=jnp.asarray(rr_c * (-v1s * half_h + level.nu) * gmask),
+            dd=jnp.asarray(rr_c * (v1s * half_h + level.nu) * gmask),
+            v1=jnp.asarray(v1s), v2=jnp.asarray(v2s), a_inv=None,
+            n=n, h=level.h, dt=level.dt, nu=level.nu,
+            diag_a=level.diag_a, diag_b=level.diag_b,
+        )
+        up, _ = jax.jit(block)(level, u, rhs)
+        uj_s, _ = jax.jit(jnp_block)(
+            slab_level, sl(u), sl(rhs)
+        )
+        got = np.asarray(jax.lax.slice_in_dim(up, r0, r0 + S, axis=0))
+        want = np.asarray(uj_s)[m0:m0 + S]
+        err = float(np.max(np.abs(got - want)))
+        slab_rows = [r0, r0 + S]
+        del up, uj_s
+    elif not args.no_check:
         up, _ = jax.jit(block)(level, u, rhs)
         uj, _ = jax.jit(jnp_block)(level, u, rhs)
         err = float(jnp.max(jnp.abs(uj - up)))
@@ -151,7 +224,9 @@ def main():
     emit("ok",
          us_per_block=round(per_block * 1e6, 1),
          stencil_gdof_s=round(points * NSWEEPS / per_block / 1e9, 2),
-         max_abs_diff_vs_jnp=err)
+         max_abs_diff_vs_jnp=err,
+         check_slab_rows=slab_rows,
+         device_build=bool(args.device_build))
     return 0
 
 

@@ -1,5 +1,7 @@
-"""Slope-method decomposition: (t(L2)-t(L1))/(L2-L1) cancels tunnel."""
-import sys, time; sys.path.insert(0, "/root/repo")
+"""Slope-method decomposition: (t(L2)-t(L1))/(L2-L1) cancels tunnel.
+Appends every measured piece to bench_data/decompose.jsonl (committed-data
+rule, VERDICT r4 weak #2)."""
+import datetime, json, os, sys, time; sys.path.insert(0, "/root/repo")
 import jax
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp, numpy as np
@@ -37,10 +39,17 @@ def t(run, arg, reps=5):
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
+_STAMP = datetime.datetime.now().isoformat(timespec="seconds")
+
+
 def slope(name, body, L1=20, L2=100):
     r1, r2 = scanner(body, L1), scanner(body, L2)
     us = (t(r2, u0) - t(r1, u0)) / (L2 - L1) * 1e6
     print(f"{name}: {us:.1f} us/iter", flush=True)
+    row = {"piece": name, "us_per_iter": round(us, 1), "n": N,
+           "device": str(jax.devices()[0]), "timestamp": _STAMP}
+    with open("/root/repo/bench_data/decompose.jsonl", "a") as f:
+        f.write(json.dumps(row) + "\n")
 
 slope("smooth_block(res)", lambda c: fused_rb_sweeps(fine, c, rhs0, 3, want_residual=True)[0])
 slope("smooth_block(no_res)", lambda c: fused_rb_sweeps(fine, c, rhs0, 3)[0])

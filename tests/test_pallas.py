@@ -444,3 +444,35 @@ def test_residual_rows_decimated_multiband():
     np.testing.assert_allclose(np.asarray(got_dec),
                                np.asarray(want_r)[::2, :],
                                rtol=0, atol=1e-14)
+
+
+def test_residual_rows_decimated_tiny_band_fallback():
+    """When the VMEM-capped band is thinner than the 16-row decimation
+    multiple (tiny probe budgets), the decimated-residual request must
+    degrade to full-resolution residual + outside row slice instead of
+    force-doubling the working set past the cap (ADVICE r4 #3) — same
+    output contract, bit-identical rows."""
+    level, u, rhs = _setup(64, jnp.float64)
+    rows, cols = u.shape
+    want_u, want_r = psm.fused_rb_sweeps(level, u, rhs, 3, want_residual=True)
+    old_b, old_n = psm._VMEM_BUDGET, psm._NARROW_BUDGET
+    try:
+        # budget sized so _pick_band lands on bh=8 (< 16): 24 window rows
+        # of 6 windows minus the 2h=16 halo rows -> one 8-row band
+        psm._VMEM_BUDGET = psm._NARROW_BUDGET = 24 * 6 * cols * 8
+        psm._fused.clear_cache()
+        bh = psm._pick_band(rows, cols, 8, psm._halo(3))
+        assert bh < 16, f"budget override failed to produce bh<16 (bh={bh})"
+        got_u, got_dec = psm.fused_rb_sweeps(
+            level, u, rhs, 3, want_residual=True,
+            residual_rows_decimated=True,
+        )
+    finally:
+        psm._VMEM_BUDGET, psm._NARROW_BUDGET = old_b, old_n
+        psm._fused.clear_cache()
+    assert got_dec.shape == (rows // 2, cols)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               rtol=1e-13, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(got_dec),
+                               np.asarray(want_r)[::2, :],
+                               rtol=0, atol=1e-14)
