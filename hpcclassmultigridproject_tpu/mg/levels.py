@@ -342,14 +342,44 @@ def build_hierarchy_device(
             cn_from_v=True,
         ))
     if coarse_mode == "dense":
-        from hpcclassmultigridproject_tpu.sparse.galerkin import (
-            attach_dense_inverse,
-        )
+        # the coarsest level is small (32² at the reference heuristic); the
+        # host round-trip for its dense inverse is a few hundred KB.  Under
+        # a mesh the coarsest MAY still be partitioned (tiny meshes /
+        # min_local), and under a multi-process runtime a partitioned
+        # global array cannot be np.asarray'd — allgather the coefficient
+        # fields, invert on host, and lift the inverse back replicated.
+        bottom = levels[-1]
+        if shardings is None:
+            from hpcclassmultigridproject_tpu.sparse.galerkin import (
+                attach_dense_inverse,
+            )
 
-        # the coarsest level is small (32² at the reference heuristic) and
-        # replicated under distribution; the host round-trip for its dense
-        # inverse is a few hundred KB
-        levels[-1] = attach_dense_inverse(levels[-1])
+            levels[-1] = attach_dense_inverse(bottom)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from hpcclassmultigridproject_tpu.parallel.distributed import (
+                fetch,
+                make_global,
+            )
+            from hpcclassmultigridproject_tpu.sparse.galerkin import (
+                dense_interior_matrix_9pt,
+            )
+
+            host = dataclasses.replace(
+                bottom,
+                aa=fetch(bottom.aa), bb=fetch(bottom.bb),
+                cc=fetch(bottom.cc), dd=fetch(bottom.dd),
+                v1=fetch(bottom.v1), v2=fetch(bottom.v2),
+            )
+            a_inv = np.linalg.inv(dense_interior_matrix_9pt(host))
+            repl = NamedSharding(shardings[-1].mesh, PartitionSpec())
+            levels[-1] = dataclasses.replace(
+                bottom,
+                a_inv=make_global(
+                    np.asarray(a_inv, dtype=np.dtype(dtype)), repl
+                ),
+            )
     return tuple(levels)
 
 
