@@ -85,6 +85,16 @@ def main():
         uT, stats = run_once(model)
         times.append(time.perf_counter() - t0)
     secs = min(times)
+    # pipelined measurement: dispatch all reps back-to-back and sync ONCE —
+    # amortizes the tunnel round-trip constant (~half the isolated wall
+    # time on this link) across the batch, approximating what a directly
+    # attached chip would measure.  Recorded in detail only; the primary
+    # metric stays the isolated min-of-9 for cross-round comparability.
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        uT_p, _ = model.run(warn=False)
+    np.asarray(jnp.ravel(uT_p)[-2])
+    pipelined = (time.perf_counter() - t0) / reps
     center = float(uT[512, 512])
     max_rel = float(np.asarray(stats["rel_residual"]).max())
     # mid-run rigorous certificates (every 10th step, f64 operator): -1
@@ -102,6 +112,7 @@ def main():
             # from the spread instead of silently eaten by min-of-9
             # (VERDICT r4 next #1a)
             "rep_times_s": [round(t, 4) for t in times],
+            "pipelined_s_per_run": round(pipelined, 4),
             "config": "delta-form f32 steps + f32-pair state, pallas from_v "
                       "smoother (auto), fixed 1 cycle/step, dense coarse, "
                       "rigorous f64 certificate every 10th step",

@@ -53,16 +53,29 @@ def _get_smoother(cfg: SolverConfig):
 # win is real.
 _AUTO_PALLAS_MIN_N = 0
 
-# IN-CYCLE coarse levels are a different trade: the round-4 tower A/B
-# (RESULTS.md, bench_data/tower_sweep.jsonl) measured the N=1024 flagship at
-# 59.8 ms with per-level Pallas on every coarse level vs 53.6 ms letting XLA
-# fuse the whole jnp sub-tower below n=512 — inside a cycle the per-level
-# pallas_call boundaries defeat XLA's cross-op fusion of the tiny levels and
-# pay ~25 launch overheads.  When the coarse-tower megakernel is eligible it
-# wins outright (49.8 ms); when it is NOT (W-cycles, full weighting,
-# Galerkin coarse operators, GS coarse mode), auto routes in-cycle levels at
-# or below this extent to the jnp path instead (VERDICT r4 next #2).
-_AUTO_JNP_MAX_INCYCLE_N = 512
+# IN-CYCLE coarse routing knob (VERDICT r4 next #2) — RESOLVED BY
+# MEASUREMENT, default OFF.  Round 4's tower A/B showed the N=1024 V-cycle
+# flagship 6 ms faster with the jnp sub-tower below n=512 than with
+# per-level Pallas (53.6 vs 59.8 ms), and the verdict asked to propagate
+# that to tower-INELIGIBLE configs.  Round 5 built the routing (auto sends
+# in-cycle 5-point levels strictly below this extent to jnp) and PRICED it
+# on every tower-ineligible config — the hypothesis did not survive
+# contact (bench_data/incycle.jsonl, galerkin.jsonl, 2026-08-21, all
+# same-process min-of-5):
+#
+#   W-cycle:        all-pallas 0.1174 s   jnp<512 0.1273 s   jnp<=512 0.1453 s
+#   full-weighting: all-pallas 0.0546 s   jnp<512 0.0566 s   jnp<=512 0.0686 s
+#   Galerkin:       all-pallas 0.0669 s   jnp coarse 0.0735 s
+#
+# The round-4 win was specific to the V-shaped inject-restriction
+# sub-tower — exactly the structure the coarse-tower megakernel already
+# replaces in production.  In W-cycle / full-weighting / Galerkin
+# arrangements XLA's fusion of the jnp sub-tower is broken up by the extra
+# transfers/corner bands and per-level Pallas wins everywhere.  0 disables
+# the routing (per-level Pallas, the measured winner); the knob and the
+# A/B script (scripts/ab_incycle_tpu.py) remain for re-pricing on future
+# hardware.
+_AUTO_JNP_MAX_INCYCLE_N = 0
 
 # Fold the prolonged coarse correction into the post-smooth kernel's window
 # reads (fused_rb_sweeps(corr=...)) instead of a separate u+corr add pass.
@@ -157,7 +170,16 @@ def _pallas_backend_ok(cfg: SolverConfig, level: Level,
     # tower-ineligible crossover go jnp (see _AUTO_JNP_MAX_INCYCLE_N)
     if level.n < _AUTO_PALLAS_MIN_N:
         return False
-    if in_cycle and level.n <= _AUTO_JNP_MAX_INCYCLE_N:
+    if (in_cycle and level.n < _AUTO_JNP_MAX_INCYCLE_N
+            and getattr(level, "ne", None) is None
+            and getattr(level, "diag", None) is None):
+        # STRICT: the round-4 winning arrangement keeps the fused kernel AT
+        # n=512 and routes jnp strictly below it (the n=512 A/B with jnp at
+        # 512 too measured WORSE on-chip — bench_data/incycle.jsonl round
+        # 5).  Galerkin (nine-band) levels are EXEMPT: their jnp form is a
+        # 9-point varying-diagonal stencil whose fused XLA sub-tower
+        # measured worse than the nine-band kernel (galerkin.jsonl round 5:
+        # 0.0669 all-pallas vs 0.0735 jnp-coarse).
         return False
     if np.dtype(cfg.dtype).itemsize != 4:
         return False

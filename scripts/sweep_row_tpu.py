@@ -36,7 +36,12 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, required=True)
-    ap.add_argument("--num-cycles", type=int, default=1)
+    ap.add_argument("--num-cycles", default=1,
+                    type=lambda v: None if v == "auto" else int(v))
+    ap.add_argument("--device-build", action="store_true",
+                    help="device (iota) model build — no host transfer "
+                         "(mg/levels.py::build_hierarchy_device; at n=8192 "
+                         "the host build was a 776 s transfer wall)")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="bench_data/sweep_tpu_delta.jsonl")
@@ -51,9 +56,11 @@ def main():
         ProblemConfig(n=args.n, num_steps=args.steps),
         SolverConfig(dtype=jnp.float32, refine_dtype=jnp.float64, tol=1e-6,
                      cycle_mode="fixed", num_cycles=args.num_cycles,
-                     coarse_mode="dense", delta_form=True),
+                     coarse_mode="dense", delta_form=True,
+                     device_build=True if args.device_build else None),
     )
-    print(f"build {time.perf_counter() - t0:.0f}s", flush=True)
+    build_s = time.perf_counter() - t0
+    print(f"build {build_s:.0f}s", flush=True)
     t0 = time.perf_counter()
     uT, stats = model.run(warn=False)
     np.asarray(jnp.ravel(uT)[-2])
@@ -69,9 +76,12 @@ def main():
         "ms": min(times) * 1e3,
         "center_uT": model.center_value(uT),
         "max_rel_residual": float(np.asarray(stats["rel_residual"]).max()),
-        "num_cycles": args.num_cycles,
+        "num_cycles": model.solver.num_cycles,
+        "num_cycles_arg": "auto" if args.num_cycles is None else args.num_cycles,
+        "device_build": bool(args.device_build),
         "final_rel_residual_f64": float(
             np.asarray(stats["final_rel_residual_hi"])),
+        "build_s": round(build_s, 1),
     }
     print(json.dumps(rec), flush=True)
     with open(os.path.join(_REPO_ROOT, args.out), "a") as f:

@@ -145,26 +145,43 @@ def test_certify_chunked_unroll_matches_plain_and_cadence():
     assert bool(np.asarray(st["certified"]).all())
 
 
-def test_incycle_auto_routing_prefers_jnp_on_coarse_levels(monkeypatch):
-    """Under backend='auto' on TPU, in-cycle levels at or below the measured
-    crossover (n=512) must route to the jnp path when the tower does not
-    fire; top-level / isolated blocks keep the fused kernel (VERDICT r4
-    next #2 — the 59.8 vs 53.6 ms finding)."""
+def test_incycle_auto_routing_mechanism_and_measured_default(monkeypatch):
+    """The in-cycle coarse routing knob (VERDICT r4 next #2): with the
+    crossover raised, auto routes in-cycle 5-point levels strictly below it
+    to jnp — but NOT the level at the crossover, not Galerkin (nine-band)
+    levels, not isolated blocks, and never explicit backend='pallas'.  The
+    DEFAULT is 0 (routing off): the round-5 on-chip pricing refuted the
+    round-4 hypothesis on every tower-ineligible config
+    (bench_data/incycle.jsonl, galerkin.jsonl)."""
+    import dataclasses
+
     import jax
 
     from hpcclassmultigridproject_tpu.mg import cycle as cyc
     from hpcclassmultigridproject_tpu.mg.levels import build_hierarchy
     from hpcclassmultigridproject_tpu.core.problem import rotating_velocity
 
+    assert cyc._AUTO_JNP_MAX_INCYCLE_N == 0, (
+        "default must stay 0 (per-level Pallas, the measured winner) unless "
+        "re-priced on hardware via scripts/ab_incycle_tpu.py"
+    )
     v1, v2 = rotating_velocity(1024, dtype=jnp.float32)
     levels = build_hierarchy(v1, v2, 1.0 / 10240, -4e-4, 6, dtype=jnp.float32)
     cfg = SolverConfig(dtype=jnp.float32, backend="auto")
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    fine, coarse = levels[0], levels[2]  # n=1024 and n=256
-    assert cyc._pallas_eligible(cfg, fine, sharded=False, in_cycle=False)
+    fine, at512, coarse = levels[0], levels[1], levels[2]  # 1024, 512, 256
+    # default: routing off — in_cycle makes no difference
+    assert cyc._pallas_eligible(cfg, coarse, sharded=False, in_cycle=True)
+    monkeypatch.setattr(cyc, "_AUTO_JNP_MAX_INCYCLE_N", 512)
     assert cyc._pallas_eligible(cfg, fine, sharded=False, in_cycle=True)
+    assert cyc._pallas_eligible(cfg, at512, sharded=False, in_cycle=True)
     assert cyc._pallas_eligible(cfg, coarse, sharded=False, in_cycle=False)
     assert not cyc._pallas_eligible(cfg, coarse, sharded=False, in_cycle=True)
+    # Galerkin (nine-band) levels are exempt (galerkin.jsonl round 5)
+    nine = dataclasses.replace(coarse, ne=coarse.aa, nw=coarse.aa,
+                               se=coarse.aa, sw=coarse.aa,
+                               diag=coarse.aa)
+    assert cyc._pallas_eligible(cfg, nine, sharded=False, in_cycle=True)
     # explicit backend='pallas' is never overridden by the in-cycle floor
     cfg_p = SolverConfig(dtype=jnp.float32, backend="pallas")
     assert cyc._pallas_eligible(cfg_p, coarse, sharded=False, in_cycle=True)
