@@ -70,6 +70,25 @@ from hpcclassmultigridproject_tpu.ops.padded import (
 # bisection (scripts, RESULTS.md round 3 fault hunt).
 _FUSE_OPEN = True
 
+# Whole-step opening (VERDICT r4 next #8): additionally fold the TOP-LEVEL
+# pre-smooth block into the opening kernel (accumulate + delta rhs +
+# zero-init cascade + decimated residual in ONE banded pass —
+# ops/pallas/delta_step.py::fused_open_presmooth).  The separate kernels
+# re-read (rhs_δ, v1, v2): three full-grid HBM reads + one launch saved per
+# step.  Applies to the flagship arrangement only (1 V-cycle/step, inject
+# restriction, unsharded, fused-eligible fine level); rhs_δ stays
+# materialized for the post-smooth and the certificate norm.
+#
+# DEFAULT OFF — attempted and priced on-chip (bench_data/openfuse.jsonl,
+# same-process min-of-7/9 at N=1024): under the narrow-tier 4 MB budget the
+# 10-window working set drops the band to 72 rows and LOSES 1.2 ms/run;
+# with a dedicated 6 MB budget (bh≈104) it is a WASH (0.0626 vs 0.0620).
+# The ~17 µs/step of saved reads is repaid in cascade halo recompute at the
+# thinner band.  Kernel, tests and scripts/ab_openfuse_tpu.py remain for
+# re-pricing on hardware with more VMEM headroom (the estimated win stands
+# where bh can stay at the separate kernels' 128).
+_FUSE_OPEN_SMOOTH = False
+
 
 def _dform(x):
     """Cancellation-free building blocks of (B−A)x: the 5-point Laplacian
@@ -161,6 +180,7 @@ def timestepper_delta(
             return x
         return jax.lax.with_sharding_constraint(x, shardings[0])
 
+    from hpcclassmultigridproject_tpu.mg import cycle as _cyc
     from hpcclassmultigridproject_tpu.mg.cycle import _pallas_eligible
 
     sharded = shardings is not None and len(shardings[0].spec) > 0
@@ -169,6 +189,21 @@ def timestepper_delta(
         and _pallas_eligible(cfg, fine, sharded)
         and getattr(fine, "cn_from_v", False)
     )
+    # whole-step opening: the flagship arrangement unrolls the top level of
+    # its single V-cycle here so the pre-smooth fuses into the opening
+    # kernel (everything below the top level is untouched — the coarse
+    # tower/recursion runs exactly as mg_cycle would run it at lvl=1)
+    use_open_smooth = (
+        _FUSE_OPEN_SMOOTH
+        and use_fused_open
+        and shardings is None
+        and cfg.num_cycles == 1
+        and cfg.cycle_shape == 1
+        and cfg.restriction == "inject"
+        and cfg.smoother == "rbgs"
+        and len(levels) > 1
+    )
+    open_res_dec = use_open_smooth and _cyc._RESTRICT_DEC
 
     def open_step(hi, lo, d_pend):
         """Fold the pending correction into the state pair and compute the
@@ -209,7 +244,7 @@ def timestepper_delta(
         )
         return rel.astype(jnp.float32)
 
-    def step(carry, _):
+    def step_plain(carry, _):
         # carry invariant: u_t = hi + lo + d_pend (the correction computed
         # by the previous iteration is folded in here, fused with the
         # opening so the state pair crosses HBM once per step)
@@ -233,6 +268,42 @@ def timestepper_delta(
         return (hi2, lo2, constrain(d)), (
             rel.astype(jnp.float32), rel <= cfg.tol,
         )
+
+    def step_open_smooth(carry, _):
+        # whole-step opening (_FUSE_OPEN_SMOOTH): ONE kernel performs the
+        # accumulate, the delta rhs AND the top-level pre-smooth (+
+        # decimated residual); the rest of this body is exactly mg_cycle's
+        # top level (lvl=0, shape=1) unrolled — the recursion below runs
+        # unchanged at lvl=1 (same tower routing as the plain path).
+        # Equality with step_plain is pinned by tests/test_pallas.py.
+        from hpcclassmultigridproject_tpu.ops.padded import (
+            prolong_bilinear,
+            restrict_inject,
+            restrict_inject_rows_decimated,
+        )
+        from hpcclassmultigridproject_tpu.ops.pallas.delta_step import (
+            fused_open_presmooth,
+        )
+
+        hi, lo, d_pend = carry
+        hi2, lo2, rhs_d, u1, r0 = fused_open_presmooth(
+            fine, hi, lo, d_pend, cfg.niter,
+            residual_rows_decimated=open_res_dec,
+        )
+        res0 = jnp.maximum(interior_norm(rhs_d), tiny)
+        if open_res_dec:
+            rhs_c = restrict_inject_rows_decimated(r0, levels[1].padded)
+        else:
+            rhs_c = restrict_inject(r0, levels[1].padded)
+        u_c = mg_cycle(levels, jnp.zeros_like(rhs_c), rhs_c, cfg, lvl=1,
+                       u_is_zero=True)
+        corr = prolong_bilinear(u_c, fine.padded)
+        d, r = _cyc._smooth_block(cfg, fine, u1, rhs_d, cfg.niter, True,
+                                  corr=corr)
+        rel = interior_norm(r) / res0
+        return (hi2, lo2, d), (rel.astype(jnp.float32), rel <= cfg.tol)
+
+    step = step_open_smooth if use_open_smooth else step_plain
 
     init = (hi0, lo0, jnp.zeros_like(hi0))
     seg = cfg.certify_every

@@ -179,7 +179,8 @@ def _assert_vmem_fit(bh: int, cols: int, itemsize: int, h: int,
 def _pick_band(rows: int, cols: int, itemsize: int, h: int,
                n_windows: int = 6, n_in: int | None = None,
                n_out: int | None = None,
-               temps: float | None = None) -> int:
+               temps: float | None = None,
+               budget: int | None = None) -> int:
     """Largest multiple-of-8 band height whose `n_windows` input-window rows
     fit the VMEM budget.  The fixed window-count proxy (6 for the smoother,
     8 for the delta opening) is the on-chip-proven geometry heuristic; when
@@ -188,7 +189,9 @@ def _pick_band(rows: int, cols: int, itemsize: int, h: int,
     2·n_in·win + 2·n_out·band + _TEMP_WINDOWS·win) fits _VMEM_LIMIT — so a
     raised budget can never produce a geometry the compiler would reject."""
     per_row = n_windows * cols * itemsize
-    bh = (_budget_for(cols * itemsize) // per_row - 2 * h) // 8 * 8
+    if budget is None:
+        budget = _budget_for(cols * itemsize)
+    bh = (budget // per_row - 2 * h) // 8 * 8
     bh = max(8, min(bh, -(-rows // 8) * 8))
     if n_in is not None and n_out is not None:
         # solve 2·n_in·(bh+2h)·c·e + 2·n_out·bh·c·e + T·(bh+2h)·c·e <= LIMIT

@@ -476,3 +476,69 @@ def test_residual_rows_decimated_tiny_band_fallback():
     np.testing.assert_allclose(np.asarray(got_dec),
                                np.asarray(want_r)[::2, :],
                                rtol=0, atol=1e-14)
+
+
+def test_fused_open_presmooth_matches_separate_kernels():
+    """The whole-step opening kernel (accumulate + delta rhs + top-level
+    pre-smooth, VERDICT r4 next #8) == fused_accumulate_open followed by
+    fused_rb_sweeps(zero_init) on its rhs — same expressions, one pass."""
+    from hpcclassmultigridproject_tpu.mg.delta import _split_hi_lo
+    from hpcclassmultigridproject_tpu.ops.pallas.delta_step import (
+        fused_accumulate_open,
+        fused_open_presmooth,
+    )
+
+    level, u, rhs = _setup(64, jnp.float64)
+    hi, lo = _split_hi_lo(u.astype(jnp.float64), jnp.float64)
+    d = 1e-3 * rhs
+    want_hi, want_lo, want_rhs = fused_accumulate_open(level, hi, lo, d)
+    want_u, want_r = psm.fused_rb_sweeps(level, None, want_rhs, 3,
+                                         want_residual=True, zero_init=True)
+    for dec in (False, True):
+        got_hi, got_lo, got_rhs, got_u, got_r = fused_open_presmooth(
+            level, hi, lo, d, 3, residual_rows_decimated=dec)
+        np.testing.assert_array_equal(np.asarray(got_hi),
+                                      np.asarray(want_hi))
+        np.testing.assert_array_equal(np.asarray(got_lo),
+                                      np.asarray(want_lo))
+        np.testing.assert_allclose(np.asarray(got_rhs),
+                                   np.asarray(want_rhs), rtol=0, atol=1e-15)
+        # different band geometry than the standalone smoother -> the usual
+        # cross-geometry ulp contract
+        np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                                   rtol=1e-13, atol=1e-14)
+        want_res = np.asarray(want_r)[::2, :] if dec else np.asarray(want_r)
+        np.testing.assert_allclose(np.asarray(got_r), want_res,
+                                   rtol=0, atol=1e-13)
+
+
+def test_delta_whole_step_fusion_matches_plain_path():
+    """Full delta run with the whole-step opening on vs off: identical
+    trajectory (the fused kernel computes the same rhs/cascade values), and
+    the flagship certificate semantics preserved."""
+    import hpcclassmultigridproject_tpu.mg.delta as mdelta
+    from hpcclassmultigridproject_tpu import ProblemConfig, SolverConfig
+    from hpcclassmultigridproject_tpu.models import AdvectionDiffusion
+
+    p = ProblemConfig(n=64, num_steps=8)
+    s = SolverConfig(dtype=jnp.float64, refine_dtype=jnp.float64, tol=1e-6,
+                     cycle_mode="fixed", num_cycles=1, coarse_mode="dense",
+                     delta_form=True, backend="pallas", certify_every=3)
+    old = mdelta._FUSE_OPEN_SMOOTH
+    try:
+        mdelta._FUSE_OPEN_SMOOTH = False
+        uT_plain, st_plain = AdvectionDiffusion(p, s).run(warn=False)
+        mdelta._FUSE_OPEN_SMOOTH = True
+        uT_fused, st_fused = AdvectionDiffusion(p, s).run(warn=False)
+    finally:
+        mdelta._FUSE_OPEN_SMOOTH = old
+    np.testing.assert_allclose(np.asarray(uT_fused), np.asarray(uT_plain),
+                               rtol=0, atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(st_fused["rel_residual"]),
+        np.asarray(st_plain["rel_residual"]), rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(st_fused["final_rel_residual_hi"]),
+        np.asarray(st_plain["final_rel_residual_hi"]),
+        rtol=1e-10, atol=1e-12)
+    assert bool(np.asarray(st_fused["certified"]).all())
