@@ -85,8 +85,10 @@ def rotating_velocity(
 
 def _iota_coords(n: int, shape: tuple[int, int], compute_dtype):
     """x[i,j] = i*h, y[i,j] = j*h on the padded grid, plus the row/col index
-    planes — the device twin of `_node_coords` (same correctly-rounded i*h
-    products)."""
+    planes — the device twin of `_node_coords` (the same correctly-rounded
+    i*h products when compute_dtype is f64; under a no-x64 runtime the
+    build computes in f32 and drifts multiple ulps from the host oracle —
+    the model warns, models/advection_diffusion.py)."""
     import jax
 
     r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)

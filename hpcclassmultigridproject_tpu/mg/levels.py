@@ -263,7 +263,7 @@ def build_fine_level(
 # ---------------------------------------------------------------------------
 
 
-def _hierarchy_meta(n: int, num_levels: int, dt: float, nu: float):
+def _hierarchy_meta(n: int, num_levels: int):
     meta = []
     for lvl in range(num_levels):
         nl = n >> lvl
@@ -310,7 +310,7 @@ def build_hierarchy_device(
         rotating_velocity_trace,
     )
 
-    meta = _hierarchy_meta(n, num_levels, dt, nu)
+    meta = _hierarchy_meta(n, num_levels)
     cdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     def build():
@@ -363,22 +363,18 @@ def build_hierarchy_device(
                 make_global,
             )
             from hpcclassmultigridproject_tpu.sparse.galerkin import (
-                dense_interior_matrix_9pt,
+                attach_dense_inverse,
             )
 
-            host = dataclasses.replace(
+            host = attach_dense_inverse(dataclasses.replace(
                 bottom,
                 aa=fetch(bottom.aa), bb=fetch(bottom.bb),
                 cc=fetch(bottom.cc), dd=fetch(bottom.dd),
                 v1=fetch(bottom.v1), v2=fetch(bottom.v2),
-            )
-            a_inv = np.linalg.inv(dense_interior_matrix_9pt(host))
+            ))
             repl = NamedSharding(shardings[-1].mesh, PartitionSpec())
             levels[-1] = dataclasses.replace(
-                bottom,
-                a_inv=make_global(
-                    np.asarray(a_inv, dtype=np.dtype(dtype)), repl
-                ),
+                bottom, a_inv=make_global(np.asarray(host.a_inv), repl),
             )
     return tuple(levels)
 

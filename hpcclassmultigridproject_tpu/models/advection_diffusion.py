@@ -57,10 +57,22 @@ class AdvectionDiffusion:
         # device (shard-aware) construction: the fields are analytic, so at
         # large n they are generated on device from iota instead of built in
         # host numpy and transferred (mg/levels.py device-construction
-        # block; VERDICT r4 next #3).  Auto: device at n >= 4096.
+        # block; VERDICT r4 next #3).  Auto: device at n >= 4096 — but only
+        # under x64, where the device build computes in f64 like the host
+        # oracle; without x64 the trace would evaluate sin/cos/iota*h in
+        # f32 and silently shift existing f32 configs' results.
         dev = s.device_build
         if dev is None:
-            dev = p.n >= 4096 and s.coarse_operator == "rediscretize"
+            dev = (p.n >= 4096 and s.coarse_operator == "rediscretize"
+                   and jax.config.jax_enable_x64)
+        elif dev and not jax.config.jax_enable_x64:
+            import warnings
+
+            warnings.warn(
+                "device_build without jax_enable_x64 constructs the model "
+                "in f32 compute (multi-ulp drift vs the f64 host oracle); "
+                "enable x64 for oracle-grade construction"
+            )
 
         # optional mesh: construct the model SHARDED — every level is born
         # under its level sharding (fine partitioned, coarse replicated) and

@@ -375,6 +375,7 @@ def _fused(*arrays, nsweeps, diag_a, want_residual, cn=None, zero_init=False,
         # output blocks divisible by 8 -> bh must be a multiple of 16
         # (n=4096: 104 -> 96, ~1% extra halo recompute; other sizes already
         # are multiples of 16)
+        assert want_residual, "res_rows_dec requires want_residual"
         if bh < 16:
             # the VMEM-capped band is thinner than the 16-row decimation
             # multiple (tiny probe budgets) — forcing 16 would double the

@@ -57,7 +57,15 @@ def distributed_run(model, mesh, min_local: int = 64, layout: str = "auto"):
         # shard-aware device construction (AdvectionDiffusion(mesh=...)):
         # the levels are already global jax.Arrays under their level
         # shardings — no host lifting, no full-size materialization
-        # anywhere (VERDICT r4 next #3)
+        # anywhere (VERDICT r4 next #3).  The partitioning was fixed at
+        # construction: layout/min_local here are ignored, and a different
+        # mesh cannot be honored.
+        if mesh is not None and mesh != model.mesh:
+            raise ValueError(
+                "model was constructed sharded over a different mesh; "
+                "rebuild it with AdvectionDiffusion(..., mesh=mesh) for "
+                "this mesh"
+            )
         shardings = model.shardings
     else:
         shardings = level_shardings(model.levels, mesh, min_local,
