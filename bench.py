@@ -76,9 +76,10 @@ def main():
     run_once(model)  # compile + warm up
     run_once(model)  # second warm-up (tunnel round-trip spikes, see below)
     # the axon tunnel's round-trip shows multi-ms spikes (observed up to
-    # +25 ms on isolated runs); min-of-9 keeps the headline from being
-    # hostage to one bad round trip
-    reps = 9
+    # +25 ms on isolated runs); min-of-N keeps the headline from being
+    # hostage to one bad round trip (12 draws from a distribution whose
+    # per-window floor varied 0.0527-0.074 s across one day, round 5)
+    reps = 12
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
