@@ -154,3 +154,35 @@ def test_cli_trajectory_dump_and_animation(tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert out["frames"] == 4
     assert os.path.getsize(gif) > 1000
+
+
+def test_cli_run_device_build_and_auto_cycles(capsys):
+    """--device-build + --num-cycles auto end to end through the CLI: the
+    round-5 production flags compose with the delta flagship config."""
+    rc = main([
+        "run", "--n", "64", "--steps", "5", "--delta", "--cycle-mode",
+        "fixed", "--num-cycles", "auto", "--coarse", "dense",
+        "--device-build", "--certify-every", "2",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["converged"]
+    assert out["max_rel_residual"] <= 1e-6
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_device_built_model(tmp_path):
+    """Checkpoint/resume drives a device-built delta model identically to
+    its straight run (the construction path must not break the padded-state
+    round-trip)."""
+    p = ProblemConfig(n=64, num_steps=20)
+    s = SolverConfig(dtype=jnp.float32, refine_dtype=jnp.float64,
+                     cycle_mode="fixed", num_cycles=1, coarse_mode="dense",
+                     delta_form=True, device_build=True)
+    model = AdvectionDiffusion(p, s)
+    uT_straight, _ = model.run(warn=False)
+    mgr = CheckpointManager(tmp_path / "ck", p)
+    uT_a, steps = run_with_checkpoints(model, mgr, every=7)
+    assert steps == 20
+    np.testing.assert_allclose(np.asarray(uT_a), np.asarray(uT_straight),
+                               atol=1e-11)
