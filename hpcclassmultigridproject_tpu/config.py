@@ -160,6 +160,11 @@ class SolverConfig:
                 "delta_form requires refine_dtype set and cycle_mode='fixed' "
                 "(the f64 state accumulator and a static cycle count)"
             )
+        if self.num_cycles is not None and self.num_cycles < 1:
+            raise ValueError(
+                f"num_cycles={self.num_cycles}: need >= 1, or None for the "
+                "auto derivation (resolved_num_cycles)"
+            )
         if self.certify_every and not self.delta_form:
             # only the delta stepper implements mid-run rigorous
             # certification; silently ignoring the request would let a user
