@@ -71,7 +71,12 @@ def _solver_args(p: argparse.ArgumentParser) -> None:
                         "(SolverConfig.sharded_overlap)")
 
 
-def _build_model(args):
+def _build_model(args, mesh=None, layout="auto"):
+    """Build the model from CLI args; with `mesh` (the scaling driver),
+    construct it BORN-SHARDED over that mesh when the device build is
+    oracle-grade there (x64 + rediscretized operators) — the levels are
+    generated under their level shardings and never materialize unsharded
+    (mg/levels.py::build_hierarchy_device)."""
     import jax
     import jax.numpy as jnp
 
@@ -106,6 +111,11 @@ def _build_model(args):
         device_build=getattr(args, "device_build", None),
         sharded_overlap=getattr(args, "sharded_overlap", False),
     )
+    if (mesh is not None
+            and solver.coarse_operator == "rediscretize"
+            and solver.device_build is not False
+            and jax.config.jax_enable_x64):
+        return AdvectionDiffusion(problem, solver, mesh=mesh, layout=layout)
     return AdvectionDiffusion(problem, solver)
 
 
@@ -228,8 +238,8 @@ def cmd_scaling(args) -> int:
         if args.mode == "weak":
             scale = int(round(c ** 0.5))
             args.n = base_n * scale
-        model = _build_model(args)
         mesh = make_mesh(devices[:c])
+        model = _build_model(args, mesh=mesh, layout=args.layout)
         timing = time_run(
             lambda: distributed_run(model, mesh, layout=args.layout),
             reps=args.reps,
