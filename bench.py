@@ -90,7 +90,7 @@ def main():
     # amortizes the tunnel round-trip constant (~half the isolated wall
     # time on this link) across the batch, approximating what a directly
     # attached chip would measure.  Recorded in detail only; the primary
-    # metric stays the isolated min-of-9 for cross-round comparability.
+    # metric stays the isolated min-of-N for cross-round comparability.
     t0 = time.perf_counter()
     for _ in range(reps):
         uT_p, _ = model.run(warn=False)

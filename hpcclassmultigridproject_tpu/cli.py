@@ -113,9 +113,19 @@ def _build_model(args, mesh=None, layout="auto"):
     )
     if (mesh is not None
             and solver.coarse_operator == "rediscretize"
-            and solver.device_build is not False
-            and jax.config.jax_enable_x64):
-        return AdvectionDiffusion(problem, solver, mesh=mesh, layout=layout)
+            and solver.device_build is not False):
+        if jax.config.jax_enable_x64 or solver.device_build:
+            # explicit --device-build without x64 proceeds (the model
+            # constructor warns about f32-compute construction there)
+            return AdvectionDiffusion(problem, solver, mesh=mesh,
+                                      layout=layout)
+        import warnings
+
+        warnings.warn(
+            "born-sharded construction skipped (needs x64 for oracle-grade "
+            "device build, or explicit --device-build to accept f32 "
+            "construction); building unsharded and lifting"
+        )
     return AdvectionDiffusion(problem, solver)
 
 
