@@ -46,9 +46,13 @@ def run_once(model):
     # multiple tunnel round-trips (~25 ms each) that would be timed;
     # convergence is asserted from stats after the timing loop instead.
     uT, stats = model.run(warn=False)
-    # block_until_ready() is a no-op on the axon platform — force a host
-    # transfer of one element to synchronize with device completion.
-    np.asarray(jnp.ravel(uT)[-2])
+    # block_until_ready() is a no-op on the axon platform — synchronize by
+    # fetching the f64 epilogue certificate, a SCALAR output that is the
+    # program's final data-dependent sink (it derives from the full scan's
+    # last state).  The previous jnp.ravel(uT)[-2] sync dispatched an extra
+    # device program per rep — measured ~1 ms/rep of pure overhead
+    # (same-process A/B, round 5).
+    np.asarray(stats["final_rel_residual_hi"])
     return uT, stats
 
 
@@ -93,8 +97,8 @@ def main():
     # metric stays the isolated min-of-N for cross-round comparability.
     t0 = time.perf_counter()
     for _ in range(reps):
-        uT_p, _ = model.run(warn=False)
-    np.asarray(jnp.ravel(uT_p)[-2])
+        uT_p, stats_p = model.run(warn=False)
+    np.asarray(stats_p["final_rel_residual_hi"])
     pipelined = (time.perf_counter() - t0) / reps
     center = float(uT[512, 512])
     max_rel = float(np.asarray(stats["rel_residual"]).max())
